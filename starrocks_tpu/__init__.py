@@ -1,0 +1,29 @@
+"""starrocks_tpu — a TPU-native vectorized SQL query-execution engine.
+
+Functionally modeled on StarRocks' C++ backend (reference: /root/reference,
+see SURVEY.md), re-designed from scratch for TPU hardware:
+
+- Columnar data lives as fixed-shape JAX device arrays (the analog of
+  StarRocks `Chunk`/`Column`, be/src/column/chunk.h:50, column.h:41).
+- Strings are dictionary-encoded to int32 codes at load time (the analog of
+  StarRocks' global low-cardinality dict optimization,
+  be/src/runtime/global_dict/), so every kernel operates on fixed-width ints.
+- Decimals are fixed-point int64 (TPC-H decimals are scale<=2), giving exact
+  arithmetic; wide sums use dual-limb int64 accumulation.
+- Operators (filter / hash aggregate / hash join / sort) are pure functions
+  over Table pytrees, compiled by XLA; filters produce selection *masks*
+  rather than compacting (static shapes), compaction happens only at result
+  extraction or before shuffle.
+- Distribution is SPMD: tables hash-partitioned over a jax.sharding.Mesh,
+  shuffle = lax.all_to_all / psum_scatter inside shard_map (the analog of the
+  bRPC exchange, be/src/exec/pipeline/exchange/exchange_sink_operator.cpp:492).
+"""
+
+import jax
+
+# Exact integer/decimal arithmetic needs int64; TPC-H aggregates need the
+# headroom. TPU emulates int64 with 2x int32 ops; hot paths drop to int32
+# where value ranges allow.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

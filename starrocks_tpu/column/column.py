@@ -1,0 +1,201 @@
+"""Column / Table: the engine's columnar batch, as JAX pytrees.
+
+Analog of StarRocks' `Column` (be/src/column/column.h:41) and `Chunk`
+(be/src/column/chunk.h:50), redesigned for XLA:
+
+- A Column is a flat device array + optional validity mask. Nullability is a
+  mask, not a wrapper class (StarRocks NullableColumn,
+  be/src/column/nullable_column.h) — XLA fuses mask ops for free.
+- A Table is an ordered dict of named Columns plus an optional `live` row
+  mask. Filters *mark* rows dead instead of compacting
+  (StarRocks' `Column::filter_range`, column.h:352, compacts; on TPU static
+  shapes win, so we keep selection masks and compact only at result
+  extraction or before a shuffle).
+- Both are registered pytrees so whole tables flow through jit / shard_map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from starrocks_tpu.column import dtypes
+from starrocks_tpu.column.dtypes import DataType, TypeKind
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Column:
+    data: jax.Array                  # (N,) storage-typed
+    valid: Optional[jax.Array]       # (N,) bool, None => all valid
+    dtype: DataType                  # static
+    dict_id: int = 0                 # static; >0 for STRING columns
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        return (self.data, self.valid), (self.dtype, self.dict_id)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, valid = children
+        dtype, dict_id = aux
+        return cls(data=data, valid=valid, dtype=dtype, dict_id=dict_id)
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_numpy(
+        cls,
+        arr: np.ndarray,
+        dtype: DataType,
+        valid: Optional[np.ndarray] = None,
+        dict_id: int = 0,
+    ) -> "Column":
+        if dtype.is_string and dict_id == 0:
+            codes, dict_id = dtypes.dict_encode(arr)
+            arr = codes
+        data = jnp.asarray(np.asarray(arr, dtype.np_dtype))
+        v = None if valid is None else jnp.asarray(valid, jnp.bool_)
+        return cls(data=data, valid=v, dtype=dtype, dict_id=dict_id)
+
+    # -- accessors ---------------------------------------------------------
+    @property
+    def nrows(self) -> int:
+        return self.data.shape[0]
+
+    def validity(self) -> jax.Array:
+        """Always-materialized validity mask."""
+        if self.valid is None:
+            return jnp.ones(self.data.shape, jnp.bool_)
+        return self.valid
+
+    def with_data(self, data, valid="keep") -> "Column":
+        v = self.valid if valid == "keep" else valid
+        return Column(data=data, valid=v, dtype=self.dtype, dict_id=self.dict_id)
+
+    def gather(self, idx: jax.Array, idx_valid: Optional[jax.Array] = None) -> "Column":
+        """Row gather (StarRocks Column::append_selective, column.h:210).
+
+        idx may contain arbitrary in-range ints; rows where idx_valid is
+        False become NULL.
+        """
+        safe = jnp.clip(idx, 0, self.nrows - 1)
+        data = self.data[safe]
+        valid = None if self.valid is None else self.valid[safe]
+        if idx_valid is not None:
+            valid = idx_valid if valid is None else (valid & idx_valid)
+        return Column(data=data, valid=valid, dtype=self.dtype, dict_id=self.dict_id)
+
+    # -- host conversion ---------------------------------------------------
+    def to_numpy(self, mask: Optional[np.ndarray] = None):
+        """Decode to a host numpy array (strings decoded, decimals -> float)."""
+        data = np.asarray(self.data)
+        valid = None if self.valid is None else np.asarray(self.valid)
+        if mask is not None:
+            data = data[mask]
+            valid = None if valid is None else valid[mask]
+        if self.dtype.is_string:
+            out = dtypes.dict_decode(data, self.dict_id).astype(object)
+        elif self.dtype.is_decimal:
+            out = data.astype(np.float64) / (10 ** self.dtype.scale)
+        elif self.dtype.kind is TypeKind.DATE:
+            out = data.astype("datetime64[D]")
+        else:
+            out = data
+        if valid is not None:
+            out = np.asarray(out, dtype=object)
+            out[~valid] = None
+        return out
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Table:
+    columns: dict[str, Column]
+    live: Optional[jax.Array] = None   # (N,) bool selection mask; None => all
+
+    def tree_flatten(self):
+        names = tuple(self.columns.keys())
+        return (tuple(self.columns.values()), self.live), names
+
+    @classmethod
+    def tree_unflatten(cls, names, children):
+        cols, live = children
+        return cls(columns=dict(zip(names, cols)), live=live)
+
+    # ----------------------------------------------------------------------
+    @property
+    def nrows(self) -> int:
+        return next(iter(self.columns.values())).nrows
+
+    def __getitem__(self, name: str) -> Column:
+        return self.columns[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.columns
+
+    def column_names(self):
+        return list(self.columns.keys())
+
+    def live_mask(self) -> jax.Array:
+        if self.live is None:
+            return jnp.ones((self.nrows,), jnp.bool_)
+        return self.live
+
+    def num_live(self) -> jax.Array:
+        if self.live is None:
+            return jnp.asarray(self.nrows, jnp.int32)
+        return jnp.sum(self.live.astype(jnp.int32))
+
+    def with_live(self, live: Optional[jax.Array]) -> "Table":
+        return Table(columns=self.columns, live=live)
+
+    def filter(self, mask: jax.Array) -> "Table":
+        """AND a predicate mask into the selection (no compaction)."""
+        live = mask if self.live is None else (self.live & mask)
+        return Table(columns=self.columns, live=live)
+
+    def select(self, names: list[str]) -> "Table":
+        return Table(columns={n: self.columns[n] for n in names}, live=self.live)
+
+    def with_column(self, name: str, col: Column) -> "Table":
+        cols = dict(self.columns)
+        cols[name] = col
+        return Table(columns=cols, live=self.live)
+
+    def rename(self, mapping: dict[str, str]) -> "Table":
+        cols = {mapping.get(n, n): c for n, c in self.columns.items()}
+        return Table(columns=cols, live=self.live)
+
+    def gather(self, idx: jax.Array, idx_valid: Optional[jax.Array] = None) -> "Table":
+        cols = {n: c.gather(idx, idx_valid) for n, c in self.columns.items()}
+        live = None
+        if self.live is not None:
+            safe = jnp.clip(idx, 0, self.nrows - 1)
+            live = self.live[safe]
+            if idx_valid is not None:
+                live = live & idx_valid
+        elif idx_valid is not None:
+            live = idx_valid
+        return Table(columns=cols, live=live)
+
+    # -- host conversion ---------------------------------------------------
+    @classmethod
+    def from_pydict(cls, data: dict[str, tuple[np.ndarray, DataType]]) -> "Table":
+        return cls(
+            columns={n: Column.from_numpy(arr, dt) for n, (arr, dt) in data.items()}
+        )
+
+    def to_pandas(self, limit: Optional[int] = None):
+        """Compact live rows to host and decode (result extraction)."""
+        import pandas as pd
+
+        mask = None if self.live is None else np.asarray(self.live)
+        out = {}
+        for n, c in self.columns.items():
+            arr = c.to_numpy(mask)
+            out[n] = arr if limit is None else arr[:limit]
+        return pd.DataFrame(out)
