@@ -105,7 +105,7 @@ class Column:
             out = data.astype("datetime64[D]")
         else:
             out = data
-        if valid is not None:
+        if valid is not None and not valid.all():
             out = np.asarray(out, dtype=object)
             out[~valid] = None
         return out
