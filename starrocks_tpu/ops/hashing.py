@@ -32,9 +32,9 @@ def hash_columns(cols: Sequence[Column], seed: int = 0) -> jnp.ndarray:
     for c in cols:
         v = c.data.astype(jnp.int64).astype(jnp.uint64)
         if c.valid is not None:
-            # fold validity in so NULL != 0
+            # NULLs hash to a fixed sentinel; valid values keep their plain
+            # hash so nullable and non-nullable sides hash identically.
             v = jnp.where(c.valid, v, jnp.uint64(0x517CC1B727220A95))
-            v = v ^ (c.valid.astype(jnp.uint64) << jnp.uint64(63))
         h = _mix64(h ^ (v + _GOLD + (h << jnp.uint64(6)) + (h >> jnp.uint64(2))))
     return h
 
