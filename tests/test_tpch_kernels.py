@@ -37,15 +37,13 @@ def test_q1_exact(tpch_tables, tpch_frames):
     want = golden.q1(tpch_frames)
     assert list(got.l_returnflag) == list(want.l_returnflag)
     assert list(got.l_linestatus) == list(want.l_linestatus)
-    # engine decodes decimals to float dollars; golden sums are scaled ints
-    np.testing.assert_allclose(got.sum_qty, want.sum_qty / 100.0)
-    np.testing.assert_allclose(got.sum_base_price, want.sum_base_price / 100.0)
-    np.testing.assert_allclose(got.sum_disc_price, want.sum_disc_price / 10**4)
-    np.testing.assert_allclose(got.sum_charge, want.sum_charge / 10**6)
+    # engine and golden both decode decimals to float dollars
+    np.testing.assert_allclose(got.sum_qty, want.sum_qty)
+    np.testing.assert_allclose(got.sum_base_price, want.sum_base_price)
+    np.testing.assert_allclose(got.sum_disc_price, want.sum_disc_price)
+    np.testing.assert_allclose(got.sum_charge, want.sum_charge)
     np.testing.assert_array_equal(got.count_order, want.count_order)
-    # derived averages
-    np.testing.assert_allclose(
-        got.sum_qty / got.count_order, want.avg_qty, rtol=1e-12)
+    np.testing.assert_allclose(got.sum_qty / got.count_order, want.avg_qty, rtol=1e-12)
 
 
 def test_q6_exact(tpch_tables, tpch_frames):
@@ -64,6 +62,6 @@ def test_q6_exact(tpch_tables, tpch_frames):
         rev = (E.col("l_extendedprice") * E.col("l_discount")).eval(t)
         return jnp.sum(jnp.where(t.live_mask(), rev.data, 0))
 
-    got = int(q6(li))
-    want = int(golden.q6(tpch_frames).revenue[0])
-    assert got == want
+    got = int(q6(li))  # scale-4 integer revenue
+    want = float(golden.q6(tpch_frames).revenue[0])  # decoded dollars
+    assert got == round(want * 1e4)
