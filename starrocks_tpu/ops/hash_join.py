@@ -114,12 +114,16 @@ def _probe_slots(bt: BuildTable, probe_cols: Sequence[Column], probe_live: jnp.n
     matched = jnp.zeros((n,), jnp.bool_)
     match_row = jnp.zeros((n,), jnp.int32)
 
+    # iteration cap: after `cap` probes a row has seen every slot. Without it
+    # the loop never terminates when the build overflowed (table completely
+    # full, probe finds neither match nor empty slot); the overflow flag then
+    # triggers a host retry with a larger capacity.
     def cond(state):
-        unresolved, _, _, slot = state
-        return jnp.any(unresolved)
+        unresolved, _, _, _, t = state
+        return jnp.any(unresolved) & (t < cap)
 
     def body(state):
-        unresolved, matched, match_row, slot = state
+        unresolved, matched, match_row, slot, t = state
         owner_row = bt.owner[slot]
         empty = owner_row == _NO_OWNER
         safe = jnp.where(empty, 0, owner_row)
@@ -129,10 +133,10 @@ def _probe_slots(bt: BuildTable, probe_cols: Sequence[Column], probe_live: jnp.n
         match_row = jnp.where(found, safe, match_row)
         unresolved = unresolved & ~eq & ~empty
         slot = jnp.where(unresolved, (slot + 1) & (cap - 1), slot)
-        return unresolved, matched, match_row, slot
+        return unresolved, matched, match_row, slot, t + 1
 
-    unresolved, matched, match_row, _ = jax.lax.while_loop(
-        cond, body, (unresolved, matched, match_row, slot))
+    unresolved, matched, match_row, _, _ = jax.lax.while_loop(
+        cond, body, (unresolved, matched, match_row, slot, jnp.int32(0)))
     return matched, match_row
 
 

@@ -1,0 +1,98 @@
+"""Catalog: table schemas + statistics.
+
+Analog of StarRocks' FE catalog + statistics storage
+(fe/.../catalog/, fe/.../statistic/ CachedStatisticStorage) at the scope the
+planner needs: schemas, unique keys (for build-side selection), row counts
+and per-column NDV (for join order / capacity estimates).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from starrocks_tpu.column.column import Table
+from starrocks_tpu.column.dtypes import DataType
+
+
+@dataclasses.dataclass
+class ColumnStats:
+    ndv: int
+    min: Optional[float] = None
+    max: Optional[float] = None
+
+
+@dataclasses.dataclass
+class TableMeta:
+    name: str
+    schema: dict[str, DataType]
+    unique_keys: list[tuple[str, ...]]
+    size: int
+    stats: dict[str, ColumnStats] = dataclasses.field(default_factory=dict)
+
+
+TPCH_UNIQUE_KEYS = {
+    "region": [("r_regionkey",)],
+    "nation": [("n_nationkey",)],
+    "supplier": [("s_suppkey",)],
+    "part": [("p_partkey",)],
+    "partsupp": [("ps_partkey", "ps_suppkey")],
+    "customer": [("c_custkey",)],
+    "orders": [("o_orderkey",)],
+    "lineitem": [("l_orderkey", "l_linenumber")],
+}
+
+
+class Catalog:
+    def __init__(self):
+        self.tables: dict[str, TableMeta] = {}
+
+    def add(self, meta: TableMeta):
+        self.tables[meta.name] = meta
+
+    def get(self, name: str) -> TableMeta:
+        if name not in self.tables:
+            raise KeyError(f"unknown table {name!r}")
+        return self.tables[name]
+
+    @classmethod
+    def from_tables(
+        cls,
+        tables: dict[str, Table],
+        unique_keys: Optional[dict[str, list[tuple[str, ...]]]] = None,
+        collect_stats: bool = True,
+        sample: int = 200_000,
+    ) -> "Catalog":
+        """ANALYZE-equivalent: collect sizes + sampled NDV at registration
+        (the analog of statistic/StatisticExecutor.java collect jobs)."""
+        cat = cls()
+        uk = unique_keys or TPCH_UNIQUE_KEYS
+        for name, t in tables.items():
+            stats = {}
+            if collect_stats:
+                n = t.nrows
+                idx = None
+                if n > sample:
+                    idx = np.random.default_rng(0).integers(0, n, sample)
+                for cname, col in t.columns.items():
+                    data = np.asarray(col.data)
+                    d = data if idx is None else data[idx]
+                    ndv = len(np.unique(d))
+                    if idx is not None:
+                        # first-order extrapolation for sampled NDV
+                        ndv = min(n, int(ndv * max(1.0, n / sample) ** 0.5)) if ndv > sample // 2 else ndv
+                    stats[cname] = ColumnStats(
+                        ndv=max(int(ndv), 1),
+                        min=float(d.min()) if len(d) and d.dtype.kind in "if" else None,
+                        max=float(d.max()) if len(d) and d.dtype.kind in "if" else None,
+                    )
+            cat.add(TableMeta(
+                name=name,
+                schema={c: col.dtype for c, col in t.columns.items()},
+                unique_keys=uk.get(name, []),
+                size=t.nrows,
+                stats=stats,
+            ))
+        return cat

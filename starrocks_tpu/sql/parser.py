@@ -1,0 +1,335 @@
+"""Recursive-descent SQL parser for the analytic SELECT subset.
+
+Analog of StarRocks' parser (fe/.../sql/parser/StarRocks.g4 + AstBuilder) —
+covers everything the TPC-H/SSB query classes need: comma + explicit joins,
+scalar/IN/EXISTS subqueries (correlated), CASE, BETWEEN, LIKE, date/interval
+literals and arithmetic, aggregate functions with DISTINCT, extract/substring.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from starrocks_tpu.sql import ast
+from starrocks_tpu.sql.lexer import Token, tokenize
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+
+    # -- token helpers -------------------------------------------------------
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, value: Optional[str] = None) -> Optional[Token]:
+        t = self.peek()
+        if t.kind == kind and (value is None or t.value == value):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, value: Optional[str] = None) -> Token:
+        t = self.accept(kind, value)
+        if t is None:
+            got = self.peek()
+            raise SyntaxError(f"expected {value or kind}, got {got.value!r} @ {got.pos}")
+        return t
+
+    def kw(self, word: str) -> Optional[Token]:
+        return self.accept("KEYWORD", word)
+
+    # -- entry ----------------------------------------------------------------
+    def parse(self) -> ast.SelectStmt:
+        stmt = self.parse_select()
+        self.accept("SYMBOL", ";")
+        self.expect("EOF")
+        return stmt
+
+    def parse_select(self) -> ast.SelectStmt:
+        self.expect("KEYWORD", "select")
+        distinct = bool(self.kw("distinct"))
+        star = False
+        items = []
+        if self.accept("SYMBOL", "*"):
+            star = True
+        else:
+            while True:
+                e = self.parse_expr()
+                alias = None
+                if self.kw("as"):
+                    alias = self.expect("IDENT").value
+                elif self.peek().kind == "IDENT":
+                    alias = self.next().value
+                items.append(ast.SelectItem(e, alias))
+                if not self.accept("SYMBOL", ","):
+                    break
+        froms, joins = [], []
+        if self.kw("from"):
+            froms.append(self.parse_table_ref())
+            while True:
+                if self.accept("SYMBOL", ","):
+                    froms.append(self.parse_table_ref())
+                    continue
+                jk = self.parse_join_kind()
+                if jk is None:
+                    break
+                ref = self.parse_table_ref()
+                on = None
+                if self.kw("on"):
+                    on = self.parse_expr()
+                joins.append(ast.JoinClause(jk, ref, on))
+        where = self.parse_expr() if self.kw("where") else None
+        group_by = []
+        if self.kw("group"):
+            self.expect("KEYWORD", "by")
+            while True:
+                group_by.append(self.parse_expr())
+                if not self.accept("SYMBOL", ","):
+                    break
+        having = self.parse_expr() if self.kw("having") else None
+        order_by = []
+        if self.kw("order"):
+            self.expect("KEYWORD", "by")
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.kw("desc"):
+                    asc = False
+                else:
+                    self.kw("asc")
+                order_by.append((e, asc))
+                if not self.accept("SYMBOL", ","):
+                    break
+        limit = None
+        if self.kw("limit"):
+            limit = int(self.expect("NUMBER").value)
+        return ast.SelectStmt(items=items, star=star, froms=froms, joins=joins,
+                              where=where, group_by=group_by, having=having,
+                              order_by=order_by, limit=limit, distinct=distinct)
+
+    def parse_join_kind(self) -> Optional[str]:
+        if self.kw("join") or (self.kw("inner") and self.expect("KEYWORD", "join")):
+            return "inner"
+        if self.kw("left"):
+            self.kw("outer")
+            self.expect("KEYWORD", "join")
+            return "left_outer"
+        if self.kw("right"):
+            self.kw("outer")
+            self.expect("KEYWORD", "join")
+            return "right_outer"
+        return None
+
+    def parse_table_ref(self):
+        if self.accept("SYMBOL", "("):
+            q = self.parse_select()
+            self.expect("SYMBOL", ")")
+            self.kw("as")
+            alias = self.expect("IDENT").value if self.peek().kind == "IDENT" else None
+            return ast.SubqueryRef(q, alias)
+        name = self.expect("IDENT").value
+        alias = None
+        if self.kw("as"):
+            alias = self.expect("IDENT").value
+        elif self.peek().kind == "IDENT":
+            alias = self.next().value
+        return ast.TableRef(name, alias)
+
+    # -- expressions (precedence climbing) ------------------------------------
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        e = self.parse_and()
+        while self.kw("or"):
+            e = ast.BinOp("or", e, self.parse_and())
+        return e
+
+    def parse_and(self):
+        e = self.parse_not()
+        while self.kw("and"):
+            e = ast.BinOp("and", e, self.parse_not())
+        return e
+
+    def parse_not(self):
+        if self.kw("not"):
+            return ast.UnaryOp("not", self.parse_not())
+        return self.parse_predicate()
+
+    def parse_predicate(self):
+        e = self.parse_additive()
+        negated = bool(self.kw("not"))
+        if self.kw("between"):
+            lo = self.parse_additive()
+            self.expect("KEYWORD", "and")
+            hi = self.parse_additive()
+            return ast.BetweenExpr(e, lo, hi, negated)
+        if self.kw("in"):
+            self.expect("SYMBOL", "(")
+            if self.peek().kind == "KEYWORD" and self.peek().value == "select":
+                q = self.parse_select()
+                self.expect("SYMBOL", ")")
+                return ast.InSubquery(e, q, negated)
+            values = [self.parse_additive()]
+            while self.accept("SYMBOL", ","):
+                values.append(self.parse_additive())
+            self.expect("SYMBOL", ")")
+            return ast.InList(e, values, negated)
+        if self.kw("like"):
+            pat = self.expect("STRING").value
+            return ast.LikeExpr(e, pat, negated)
+        if self.kw("is"):
+            neg = bool(self.kw("not"))
+            self.expect("KEYWORD", "null")
+            return ast.IsNullExpr(e, neg)
+        if negated:
+            raise SyntaxError("dangling NOT")
+        t = self.peek()
+        if t.kind == "SYMBOL" and t.value in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            op = self.next().value
+            if op == "!=":
+                op = "<>"
+            rhs = self.parse_additive()
+            return ast.BinOp(op, e, rhs)
+        return e
+
+    def parse_additive(self):
+        e = self.parse_multiplicative()
+        while True:
+            t = self.peek()
+            if t.kind == "SYMBOL" and t.value in ("+", "-"):
+                op = self.next().value
+                e = ast.BinOp(op, e, self.parse_multiplicative())
+            else:
+                return e
+
+    def parse_multiplicative(self):
+        e = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t.kind == "SYMBOL" and t.value in ("*", "/"):
+                op = self.next().value
+                e = ast.BinOp(op, e, self.parse_unary())
+            else:
+                return e
+
+    def parse_unary(self):
+        if self.accept("SYMBOL", "-"):
+            return ast.UnaryOp("-", self.parse_unary())
+        self.accept("SYMBOL", "+")
+        return self.parse_primary()
+
+    def parse_primary(self):
+        t = self.peek()
+        if t.kind == "SYMBOL" and t.value == "(":
+            self.next()
+            if self.peek().kind == "KEYWORD" and self.peek().value == "select":
+                q = self.parse_select()
+                self.expect("SYMBOL", ")")
+                return ast.ScalarSubquery(q)
+            e = self.parse_expr()
+            self.expect("SYMBOL", ")")
+            return e
+        if t.kind == "NUMBER":
+            self.next()
+            if "." in t.value:
+                frac = t.value.split(".")[1]
+                scale = len(frac)
+                return ast.Lit(int(round(float(t.value) * 10**scale)), "decimal", scale)
+            return ast.Lit(int(t.value), "int")
+        if t.kind == "STRING":
+            self.next()
+            return ast.Lit(t.value, "string")
+        if t.kind == "KEYWORD":
+            return self.parse_keyword_primary()
+        if t.kind == "IDENT":
+            self.next()
+            if self.accept("SYMBOL", "."):
+                col = self.expect("IDENT").value
+                return ast.Col(col, qualifier=t.value)
+            if self.peek().kind == "SYMBOL" and self.peek().value == "(":
+                return self.parse_call(t.value)
+            return ast.Col(t.value)
+        raise SyntaxError(f"unexpected token {t.value!r} @ {t.pos}")
+
+    def parse_keyword_primary(self):
+        t = self.next()
+        word = t.value
+        if word == "date":
+            s = self.expect("STRING").value
+            days = int((np.datetime64(s) - np.datetime64("1970-01-01")).astype(int))
+            return ast.Lit(days, "date")
+        if word == "interval":
+            qty = self.expect("STRING").value
+            unit_t = self.next()
+            unit = unit_t.value
+            n = int(qty)
+            if unit == "day":
+                return ast.Lit(n, "interval")
+            if unit == "month":
+                return ast.Lit(0, "interval", months=n)
+            if unit == "year":
+                return ast.Lit(0, "interval", months=12 * n)
+            raise SyntaxError(f"unsupported interval unit {unit}")
+        if word == "case":
+            branches = []
+            default = None
+            while self.kw("when"):
+                cond = self.parse_expr()
+                self.expect("KEYWORD", "then")
+                val = self.parse_expr()
+                branches.append((cond, val))
+            if self.kw("else"):
+                default = self.parse_expr()
+            self.expect("KEYWORD", "end")
+            return ast.CaseExpr(branches, default)
+        if word == "extract":
+            self.expect("SYMBOL", "(")
+            field = self.next().value
+            self.expect("KEYWORD", "from")
+            e = self.parse_expr()
+            self.expect("SYMBOL", ")")
+            if field != "year":
+                raise SyntaxError(f"extract({field}) unsupported")
+            return ast.Func("year", [e])
+        if word in ("substring", "coalesce", "year", "count", "sum", "avg",
+                    "min", "max", "cast"):
+            return self.parse_call(word)
+        if word == "null":
+            return ast.Lit(None, "null")
+        if word in ("true", "false"):
+            return ast.Lit(word == "true", "bool")
+        if word == "not":
+            return ast.UnaryOp("not", self.parse_not())
+        if word == "exists":
+            self.expect("SYMBOL", "(")
+            q = self.parse_select()
+            self.expect("SYMBOL", ")")
+            return ast.ExistsExpr(q)
+        raise SyntaxError(f"unexpected keyword {word!r} @ {t.pos}")
+
+    def parse_call(self, name: str):
+        self.expect("SYMBOL", "(")
+        if name == "count" and self.accept("SYMBOL", "*"):
+            self.expect("SYMBOL", ")")
+            return ast.Func("count", [], star=True)
+        distinct = bool(self.kw("distinct"))
+        args = []
+        if not (self.peek().kind == "SYMBOL" and self.peek().value == ")"):
+            args.append(self.parse_expr())
+            while self.accept("SYMBOL", ","):
+                args.append(self.parse_expr())
+        self.expect("SYMBOL", ")")
+        return ast.Func(name, args, distinct=distinct)
+
+
+def parse(text: str) -> ast.SelectStmt:
+    return Parser(text).parse()

@@ -1,0 +1,960 @@
+"""SQL planner: bound AST -> physical plan.
+
+This is the engine's FE: the combined analog of StarRocks' Analyzer
+(fe/.../sql/analyzer/), optimizer rewrites (subquery decorrelation, predicate
+pushdown, two-phase agg split — fe/.../sql/optimizer/rule/transformation/)
+and PlanFragmentBuilder (fe/.../sql/plan/PlanFragmentBuilder.java:255).
+Instead of a cascades memo search it uses cost heuristics:
+
+- predicate pushdown: single-relation conjuncts filter their scan; common
+  equi conjuncts are factored out of OR disjunctions (Q19 shape)
+- greedy join order: the largest relation streams as the probe side; each
+  connected relation joins build-side when its join keys are unique (FK->PK;
+  the cost-model analog of HashJoinCostModel.java picking the small side),
+  with probe/build flip or fanout-capped expansion when not
+- subquery decorrelation:
+  * scalar subqueries (correlated or not) are rewritten to GROUP BY on the
+    correlation columns + join / BroadcastScalar; avg comparisons stay exact
+    by keeping sum/count as a fraction and cross-multiplying
+  * [NOT] IN / EXISTS -> semi/anti hash join
+  * EXISTS with a `<>` correlation conjunct (TPC-H Q21) -> min/max group
+    decorrelation: exists(y != x in group) == (min != x or max != x)
+- aggregates: avg -> sum+count, count(distinct) -> two-level distinct agg
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Callable, Optional
+
+import numpy as np
+
+from starrocks_tpu.column import dtypes as dt
+from starrocks_tpu.exprs import expr as E
+from starrocks_tpu.exec.plan import (
+    AddColumns, Aggregate, BroadcastScalar, Filter, HashJoin, Limit, PlanNode,
+    Project, Scan, Sort,
+)
+from starrocks_tpu.ops.hash_agg import AggSpec
+from starrocks_tpu.ops.sort import SortKey
+from starrocks_tpu.sql import ast
+from starrocks_tpu.sql.catalog import Catalog
+
+_uid = itertools.count()
+
+
+def _gen(prefix="c"):
+    return f"_{prefix}{next(_uid)}"
+
+
+@dataclasses.dataclass
+class Relation:
+    """A planned FROM item (or join stream): plan + name binding + props.
+
+    maps: qualifier -> {sql column name -> plan column name}. A merged join
+    stream keeps one entry per original table alias so self-join qualifiers
+    (n1.n_name vs n2.n_name) resolve correctly.
+    """
+    plan: PlanNode
+    maps: dict[str, dict[str, str]]
+    unique_keys: list[tuple[str, ...]]
+    size: int
+
+    @property
+    def aliases(self):
+        return set(self.maps)
+
+    def lookup(self, col: ast.Col) -> Optional[str]:
+        if col.qualifier is not None:
+            m = self.maps.get(col.qualifier)
+            return m.get(col.name) if m else None
+        hits = [m[col.name] for m in self.maps.values() if col.name in m]
+        if len(hits) > 1 and len(set(hits)) > 1:
+            raise ValueError(f"ambiguous column {col}")
+        return hits[0] if hits else None
+
+    def all_plan_cols(self) -> list[str]:
+        out = []
+        for m in self.maps.values():
+            out.extend(m.values())
+        return list(dict.fromkeys(out))
+
+    def filtered(self, pred: E.Expr, sel: float = 0.3) -> "Relation":
+        return dataclasses.replace(self, plan=Filter(self.plan, pred),
+                                   size=max(1, int(self.size * sel)))
+
+
+class Scope:
+    def __init__(self, relations: list[Relation], parent: Optional["Scope"] = None):
+        self.relations = relations
+        self.parent = parent
+
+    def resolve(self, col: ast.Col):
+        """-> (relation, plan_name, depth); depth 0 = local, 1+ = outer."""
+        depth = 0
+        scope = self
+        while scope is not None:
+            hits = []
+            for r in scope.relations:
+                pn = r.lookup(col)
+                if pn is not None:
+                    hits.append((r, pn))
+            if len(hits) > 1 and len({pn for _, pn in hits}) > 1:
+                raise ValueError(f"ambiguous column {col}")
+            if hits:
+                return hits[0][0], hits[0][1], depth
+            scope = scope.parent
+            depth += 1
+        raise ValueError(f"cannot resolve column {col}")
+
+
+# ---------------------------------------------------------------------------
+# expression utilities over the AST
+# ---------------------------------------------------------------------------
+
+def fold_const(node: ast.Node) -> ast.Node:
+    """Constant folding, mainly date ± interval (TPC-H literal arithmetic)."""
+    if isinstance(node, ast.BinOp):
+        l, r = fold_const(node.left), fold_const(node.right)
+        if isinstance(l, ast.Lit) and isinstance(r, ast.Lit):
+            if l.kind == "date" and r.kind == "interval":
+                days = l.value
+                sign = 1 if node.op == "+" else -1
+                if r.months:
+                    d = np.datetime64("1970-01-01") + np.timedelta64(days, "D")
+                    m = d.astype("datetime64[M]") + sign * r.months
+                    rem = (d - d.astype("datetime64[M]")).astype(int)
+                    nd = m.astype("datetime64[D]") + rem
+                    return ast.Lit(int((nd - np.datetime64("1970-01-01")).astype(int)), "date")
+                return ast.Lit(days + sign * r.value, "date")
+            if l.kind == "int" and r.kind == "int" and node.op in "+-*":
+                v = {"+": l.value + r.value, "-": l.value - r.value,
+                     "*": l.value * r.value}[node.op]
+                return ast.Lit(v, "int")
+        return ast.BinOp(node.op, l, r)
+    if isinstance(node, ast.UnaryOp) and node.op == "-":
+        c = fold_const(node.child)
+        if isinstance(c, ast.Lit) and c.kind in ("int", "decimal"):
+            return ast.Lit(-c.value, c.kind, c.scale)
+        return ast.UnaryOp("-", c)
+    return node
+
+
+def conjuncts(node: Optional[ast.Node]) -> list[ast.Node]:
+    if node is None:
+        return []
+    if isinstance(node, ast.BinOp) and node.op == "and":
+        return conjuncts(node.left) + conjuncts(node.right)
+    return [node]
+
+
+def _and_all(nodes: list[ast.Node]) -> Optional[ast.Node]:
+    if not nodes:
+        return None
+    out = nodes[0]
+    for n in nodes[1:]:
+        out = ast.BinOp("and", out, n)
+    return out
+
+
+def factor_or(node: ast.Node) -> list[ast.Node]:
+    """Factor conjuncts common to every OR branch out of the disjunction
+    (Q19's `(p=l and ...) or (p=l and ...)` -> `p=l` + residual OR)."""
+    if not (isinstance(node, ast.BinOp) and node.op == "or"):
+        return [node]
+    branches = []
+    def flat(n):
+        if isinstance(n, ast.BinOp) and n.op == "or":
+            flat(n.left); flat(n.right)
+        else:
+            branches.append(conjuncts(n))
+    flat(node)
+    common = []
+    for c in branches[0]:
+        if all(any(_ast_equal(c, d) for d in b) for b in branches[1:]):
+            common.append(c)
+    if not common:
+        return [node]
+    residual_branches = []
+    for b in branches:
+        rest = [d for d in b if not any(_ast_equal(d, c) for c in common)]
+        residual_branches.append(_and_all(rest) or ast.Lit(True, "bool"))
+    residual = residual_branches[0]
+    for r in residual_branches[1:]:
+        residual = ast.BinOp("or", residual, r)
+    return common + [residual]
+
+
+def collect_cols(node) -> list[ast.Col]:
+    out = []
+    def walk(n):
+        if isinstance(n, ast.Col):
+            out.append(n)
+        elif isinstance(n, ast.InSubquery):
+            walk(n.expr)
+        elif isinstance(n, (ast.ScalarSubquery, ast.ExistsExpr)):
+            pass  # inner columns bind in their own scope
+        elif dataclasses.is_dataclass(n):
+            for f in dataclasses.fields(n):
+                v = getattr(n, f.name)
+                if isinstance(v, list):
+                    for x in v:
+                        if isinstance(x, tuple):
+                            for y in x:
+                                if isinstance(y, ast.Node):
+                                    walk(y)
+                        elif isinstance(x, ast.Node):
+                            walk(x)
+                elif isinstance(v, ast.Node):
+                    walk(v)
+    walk(node)
+    return out
+
+
+def contains_subquery(node) -> bool:
+    found = []
+    def walk(n):
+        if isinstance(n, (ast.ScalarSubquery, ast.ExistsExpr, ast.InSubquery)):
+            found.append(n)
+        elif dataclasses.is_dataclass(n):
+            for f in dataclasses.fields(n):
+                v = getattr(n, f.name)
+                if isinstance(v, list):
+                    for x in v:
+                        if isinstance(x, tuple):
+                            for y in x:
+                                if isinstance(y, ast.Node):
+                                    walk(y)
+                        elif isinstance(x, ast.Node):
+                            walk(x)
+                elif isinstance(v, ast.Node):
+                    walk(v)
+    walk(node)
+    return bool(found)
+
+
+def collect_aggs(node, out: list):
+    if isinstance(node, ast.Func) and node.name in ("sum", "avg", "count", "min", "max"):
+        out.append(node)
+        return
+    if isinstance(node, (ast.ScalarSubquery, ast.ExistsExpr, ast.InSubquery)):
+        return
+    if dataclasses.is_dataclass(node):
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, list):
+                for x in v:
+                    if isinstance(x, tuple):
+                        for y in x:
+                            if isinstance(y, ast.Node):
+                                collect_aggs(y, out)
+                    elif isinstance(x, ast.Node):
+                        collect_aggs(x, out)
+            elif isinstance(v, ast.Node):
+                collect_aggs(v, out)
+
+
+def _ast_equal(a, b) -> bool:
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, ast.Col):
+        return a.name == b.name and (a.qualifier == b.qualifier
+                                     or a.qualifier is None or b.qualifier is None)
+    if not dataclasses.is_dataclass(a):
+        return a == b
+    for f in dataclasses.fields(a):
+        va, vb = getattr(a, f.name), getattr(b, f.name)
+        if isinstance(va, ast.Node):
+            if not _ast_equal(va, vb):
+                return False
+        elif isinstance(va, list):
+            if not isinstance(vb, list) or len(va) != len(vb):
+                return False
+            for xa, xb in zip(va, vb):
+                if isinstance(xa, tuple):
+                    if not all(_ast_equal(p, q) for p, q in zip(xa, xb)):
+                        return False
+                elif isinstance(xa, ast.Node):
+                    if not _ast_equal(xa, xb):
+                        return False
+                elif xa != xb:
+                    return False
+        elif va != vb:
+            return False
+    return True
+
+
+def _flip_op(op: str) -> str:
+    return {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "==": "==", "!=": "!="}[op]
+
+
+def _cap(n: float) -> int:
+    p = 16
+    while p < 2 * max(n, 1):
+        p *= 2
+    return p
+
+
+# ---------------------------------------------------------------------------
+# expression binding (AST -> exprs.Expr); aggregates pre-rewritten by planner
+# ---------------------------------------------------------------------------
+
+class Binder:
+    def __init__(self, scope: Scope):
+        self.scope = scope
+
+    def bind(self, node: ast.Node) -> E.Expr:
+        node = fold_const(node)
+        if isinstance(node, ast.Col):
+            rel, plan_name, depth = self.scope.resolve(node)
+            if depth > 0:
+                raise ValueError(f"outer reference {node} must be decorrelated")
+            return E.col(plan_name)
+        if isinstance(node, ast.Lit):
+            return self.bind_lit(node)
+        if isinstance(node, ast.BinOp):
+            if node.op == "and":
+                return E.And(self.bind(node.left), self.bind(node.right))
+            if node.op == "or":
+                return E.Or(self.bind(node.left), self.bind(node.right))
+            l, r = self.bind(node.left), self.bind(node.right)
+            if node.op in ("+", "-", "*", "/"):
+                return E.Arith(node.op, l, r)
+            return E.Compare({"=": "==", "<>": "!="}.get(node.op, node.op), l, r)
+        if isinstance(node, ast.UnaryOp):
+            if node.op == "not":
+                return E.Not(self.bind(node.child))
+            return E.Arith("-", E.lift(0), self.bind(node.child))
+        if isinstance(node, ast.BetweenExpr):
+            e = self.bind(node.expr)
+            b = E.And(E.Compare(">=", e, self.bind(node.lo)),
+                      E.Compare("<=", e, self.bind(node.hi)))
+            return E.Not(b) if node.negated else b
+        if isinstance(node, ast.InList):
+            vals = []
+            for v in node.values:
+                v = fold_const(v)
+                assert isinstance(v, ast.Lit), "IN list must be literals"
+                vals.append(v.value)
+            r = E.In(self.bind(node.expr), vals)
+            return E.Not(r) if node.negated else r
+        if isinstance(node, ast.LikeExpr):
+            return E.Like(self.bind(node.expr), node.pattern, negate=node.negated)
+        if isinstance(node, ast.IsNullExpr):
+            return E.IsNull(self.bind(node.expr), negate=node.negated)
+        if isinstance(node, ast.CaseExpr):
+            branches = [(self.bind(c), self.bind(v)) for c, v in node.branches]
+            if node.default is None:
+                raise NotImplementedError("CASE without ELSE")
+            return E.Case(branches, self.bind(node.default))
+        if isinstance(node, ast.Func):
+            return self.bind_func(node)
+        raise NotImplementedError(f"cannot bind {type(node).__name__}")
+
+    def bind_lit(self, node: ast.Lit) -> E.Expr:
+        kinds = {"int": dt.INT64, "date": dt.DATE, "string": dt.STRING,
+                 "bool": dt.BOOL}
+        if node.kind == "decimal":
+            return E.Literal(node.value, dt.DECIMAL(node.scale))
+        if node.kind in kinds:
+            return E.Literal(node.value, kinds[node.kind])
+        raise NotImplementedError(f"literal kind {node.kind}")
+
+    def bind_func(self, node: ast.Func) -> E.Expr:
+        if node.name == "year":
+            return E.ExtractYear(self.bind(node.args[0]))
+        if node.name == "substring":
+            a1, a2 = fold_const(node.args[1]), fold_const(node.args[2])
+            return E.substring(self.bind(node.args[0]), a1.value, a2.value)
+        if node.name == "coalesce":
+            return E.Coalesce([self.bind(a) for a in node.args])
+        if node.name in ("sum", "avg", "count", "min", "max"):
+            raise ValueError(f"aggregate {node.name} outside aggregation context")
+        raise NotImplementedError(f"function {node.name}")
+
+
+# ---------------------------------------------------------------------------
+# the planner
+# ---------------------------------------------------------------------------
+
+class Planner:
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+
+    # -- FROM items ------------------------------------------------------------
+    def plan_table_ref(self, ref, outer_scope) -> Relation:
+        if isinstance(ref, ast.SubqueryRef):
+            rel = self.plan_select(ref.query, outer_scope)
+            alias = ref.alias or _gen("sq")
+            merged = {}
+            for m in rel.maps.values():
+                merged.update(m)
+            return dataclasses.replace(rel, maps={alias: merged})
+        meta = self.catalog.get(ref.name)
+        alias = ref.alias or ref.name
+        qualify = ref.alias is not None and ref.alias != ref.name
+        plan: PlanNode = Scan(ref.name)
+        if qualify:
+            outputs = {f"{alias}__{c}": c for c in meta.schema}
+            plan = Project(plan, outputs)
+            cmap = {c: f"{alias}__{c}" for c in meta.schema}
+            uks = [tuple(f"{alias}__{k}" for k in uk) for uk in meta.unique_keys]
+        else:
+            cmap = {c: c for c in meta.schema}
+            uks = list(meta.unique_keys)
+        return Relation(plan, {alias: cmap}, uks, meta.size)
+
+    # -- main --------------------------------------------------------------------
+    def plan_select(self, stmt: ast.SelectStmt, outer_scope: Optional[Scope] = None) -> Relation:
+        # nested planning (subqueries) must not clobber the caller's agg map
+        prev_agg_map = getattr(self, "_agg_map", None)
+        try:
+            return self._plan_select(stmt, outer_scope)
+        finally:
+            self._agg_map = prev_agg_map if prev_agg_map is not None else {}
+
+    def _plan_select(self, stmt: ast.SelectStmt, outer_scope: Optional[Scope] = None) -> Relation:
+        if not stmt.froms:
+            raise SyntaxError("SELECT without FROM is not supported")
+        rels = [self.plan_table_ref(r, outer_scope) for r in stmt.froms]
+        left_joins = []
+        where = stmt.where
+        for jc in stmt.joins:
+            r = self.plan_table_ref(jc.ref, outer_scope)
+            if jc.kind == "inner":
+                rels.append(r)
+                if jc.on is not None:
+                    where = ast.BinOp("and", where, jc.on) if where else jc.on
+            elif jc.kind == "left_outer":
+                left_joins.append((jc, r))
+            else:
+                raise NotImplementedError(jc.kind)
+        scope = Scope(rels + [r for _, r in left_joins], parent=outer_scope)
+
+        # classify conjuncts (after OR-factoring)
+        all_conjs = []
+        for c in conjuncts(where):
+            all_conjs.extend(factor_or(c))
+        pushdowns: dict[int, list] = {i: [] for i in range(len(rels))}
+        edges, pending, sub_preds = [], [], []
+        for c in all_conjs:
+            if isinstance(c, ast.Lit) and c.kind == "bool" and c.value:
+                continue
+            if contains_subquery(c):
+                sub_preds.append(c)
+                continue
+            idxs = self._rels_of(c, rels, scope)
+            if len(idxs) == 1:
+                pushdowns[next(iter(idxs))].append(c)
+            elif (len(idxs) == 2 and isinstance(c, ast.BinOp) and c.op == "="
+                  and isinstance(c.left, ast.Col) and isinstance(c.right, ast.Col)):
+                i, j = sorted(idxs)
+                lcol, rcol = c.left, c.right
+                if next(iter(self._rels_of(lcol, rels, scope))) != i:
+                    lcol, rcol = rcol, lcol
+                edges.append((i, j, lcol, rcol))
+            else:
+                pending.append((idxs, c))
+
+        for i, preds in pushdowns.items():
+            for p in preds:
+                b = Binder(Scope([rels[i]], parent=outer_scope))
+                rels[i] = rels[i].filtered(b.bind(p))
+
+        stream = self._join_greedy(rels, edges, pending, outer_scope)
+        for jc, r in left_joins:
+            stream = self._left_join(stream, r, jc, outer_scope)
+        for c in sub_preds:
+            stream = self.apply_subquery_pred(stream, c, outer_scope,
+                                              bind_fn=None)
+        return self._finish(stmt, stream, outer_scope)
+
+    def _rels_of(self, node, rels, scope: Scope) -> set[int]:
+        idxs = set()
+        for col in collect_cols(node):
+            try:
+                rel, _, depth = scope.resolve(col)
+            except ValueError:
+                continue
+            if depth == 0:
+                for i, r in enumerate(rels):
+                    if r is rel:
+                        idxs.add(i)
+        return idxs
+
+    # -- joins ---------------------------------------------------------------------
+    def _join_greedy(self, rels, edges, pending, outer_scope) -> Relation:
+        n = len(rels)
+        start = max(range(n), key=lambda i: rels[i].size) if n > 1 else 0
+        stream = rels[start]
+        joined = {start}
+        pending = list(pending)
+
+        def apply_pending(stream):
+            rest = []
+            for idxs, c in pending:
+                if idxs <= joined:
+                    b = Binder(Scope([stream], parent=outer_scope))
+                    stream = dataclasses.replace(stream, plan=Filter(stream.plan, b.bind(c)))
+                else:
+                    rest.append((idxs, c))
+            return stream, rest
+
+        stream, pending = apply_pending(stream)
+        remaining = set(range(n)) - joined
+        while remaining:
+            cands: dict[int, list] = {}
+            for (i, j, lc, rc) in edges:
+                if i in joined and j in remaining:
+                    cands.setdefault(j, []).append((lc, rc))
+                elif j in joined and i in remaining:
+                    cands.setdefault(i, []).append((rc, lc))
+            if not cands:
+                raise NotImplementedError("cross join required; unsupported")
+            nxt = min(cands, key=lambda k: rels[k].size)
+            stream = self._hash_join(stream, rels[nxt], cands[nxt], "inner")
+            joined.add(nxt)
+            remaining.discard(nxt)
+            stream, pending = apply_pending(stream)
+        if pending:
+            raise ValueError(f"unapplied predicates: {[c for _, c in pending]}")
+        return stream
+
+    def _hash_join(self, stream: Relation, build: Relation, pairs,
+                   join_type: str) -> Relation:
+        """pairs: [(stream_col_ast, build_col_ast)] (equi keys)."""
+        skeys = [self._plan_col(stream, sc) for sc, _ in pairs]
+        bkeys = [self._plan_col(build, bc) for _, bc in pairs]
+        b_unique = any(set(uk) <= set(bkeys) for uk in build.unique_keys)
+        s_unique = any(set(uk) <= set(skeys) for uk in stream.unique_keys)
+        if join_type in ("semi", "anti"):
+            plan = HashJoin(stream.plan, build.plan, tuple(skeys), tuple(bkeys),
+                            join_type, (), capacity=_cap(build.size), unique=True)
+            return dataclasses.replace(stream, plan=plan)
+        if not b_unique and s_unique and join_type == "inner":
+            stream, build = build, stream
+            skeys, bkeys = bkeys, skeys
+            b_unique = True
+        carry = tuple(build.all_plan_cols())
+        plan = HashJoin(stream.plan, build.plan, tuple(skeys), tuple(bkeys),
+                        join_type, carry, capacity=_cap(build.size),
+                        unique=b_unique, fanout=16)
+        maps = dict(stream.maps)
+        for alias, m in build.maps.items():
+            maps.setdefault(alias, {}).update(m)
+        uks = list(stream.unique_keys) if (b_unique or join_type != "inner") else []
+        return Relation(plan, maps, uks, max(stream.size, build.size))
+
+    def _plan_col(self, rel: Relation, col: ast.Col) -> str:
+        pn = rel.lookup(col)
+        if pn is None:
+            raise ValueError(f"column {col} not in relation")
+        return pn
+
+    def _left_join(self, stream: Relation, build: Relation, jc: ast.JoinClause,
+                   outer_scope) -> Relation:
+        eq_pairs, build_filters = [], []
+        for c in conjuncts(jc.on):
+            if (isinstance(c, ast.BinOp) and c.op == "="
+                    and isinstance(c.left, ast.Col) and isinstance(c.right, ast.Col)):
+                l, r = c.left, c.right
+                if stream.lookup(l) and build.lookup(r):
+                    eq_pairs.append((l, r)); continue
+                if stream.lookup(r) and build.lookup(l):
+                    eq_pairs.append((r, l)); continue
+            if all(build.lookup(col) for col in collect_cols(c)):
+                build_filters.append(c)
+            else:
+                raise NotImplementedError("left join ON with probe-side predicate")
+        for p in build_filters:
+            build = build.filtered(Binder(Scope([build])).bind(p))
+        skeys = tuple(self._plan_col(stream, l) for l, _ in eq_pairs)
+        bkeys = tuple(self._plan_col(build, r) for _, r in eq_pairs)
+        b_unique = any(set(uk) <= set(bkeys) for uk in build.unique_keys)
+        plan = HashJoin(stream.plan, build.plan, skeys, bkeys, "left_outer",
+                        tuple(build.all_plan_cols()), capacity=_cap(build.size),
+                        unique=b_unique, fanout=32)
+        maps = dict(stream.maps)
+        for alias, m in build.maps.items():
+            maps.setdefault(alias, {}).update(m)
+        return Relation(plan, maps, stream.unique_keys if b_unique else [],
+                        max(stream.size, build.size))
+
+    # -- subquery predicates ---------------------------------------------------------
+    def apply_subquery_pred(self, stream: Relation, c: ast.Node, outer_scope,
+                            bind_fn: Optional[Callable] = None) -> Relation:
+        negated = False
+        while isinstance(c, ast.UnaryOp) and c.op == "not":
+            negated = not negated
+            c = c.child
+        if isinstance(c, ast.ExistsExpr):
+            return self._apply_exists(stream, c.query, negated != c.negated, outer_scope)
+        if isinstance(c, ast.InSubquery):
+            return self._apply_in(stream, c, negated != c.negated, outer_scope)
+        if isinstance(c, ast.BinOp) and c.op in ("=", "<>", "<", "<=", ">", ">="):
+            assert not negated, "NOT around scalar compare unsupported"
+            return self._apply_scalar_compare(stream, c, outer_scope, bind_fn)
+        raise NotImplementedError(f"subquery predicate {type(c).__name__}")
+
+    def _split_correlation(self, stmt: ast.SelectStmt, inner_rels, stream, outer_scope):
+        inner_scope = Scope(inner_rels, parent=Scope([stream], parent=outer_scope))
+        local, equi, nonequi = [], [], []
+        for c in conjuncts(stmt.where):
+            cols = collect_cols(c)
+            resolved = [(col, *inner_scope.resolve(col)[1:]) for col in cols]
+            if all(d == 0 for _, _, d in resolved):
+                local.append(c)
+                continue
+            assert (isinstance(c, ast.BinOp) and c.op in ("=", "<>")
+                    and len(resolved) == 2), f"unsupported correlated conjunct"
+            (lc, lpn, ld), (rc, rpn, rd) = resolved
+            if ld > 0:
+                outer_pn, inner_ast = lpn, rc
+            else:
+                outer_pn, inner_ast = rpn, lc
+            (equi if c.op == "=" else nonequi).append((outer_pn, inner_ast))
+        return local, equi, nonequi
+
+    def _apply_exists(self, stream, q: ast.SelectStmt, negated, outer_scope) -> Relation:
+        inner_rels = [self.plan_table_ref(r, None) for r in q.froms]
+        assert len(inner_rels) == 1, "multi-table EXISTS unsupported"
+        inner = inner_rels[0]
+        local, equi, nonequi = self._split_correlation(q, [inner], stream, outer_scope)
+        for p in local:
+            inner = inner.filtered(Binder(Scope([inner])).bind(p))
+        ikeys = tuple(self._plan_col(inner, a) for _, a in equi)
+        okeys = tuple(pn for pn, _ in equi)
+        if not nonequi:
+            jt = "anti" if negated else "semi"
+            plan = HashJoin(stream.plan, inner.plan, okeys, ikeys, jt, (),
+                            capacity=_cap(inner.size))
+            return dataclasses.replace(stream, plan=plan)
+        assert len(nonequi) == 1, "one non-equi correlation supported"
+        outer_pn, inner_col = nonequi[0]
+        icol = self._plan_col(inner, inner_col)
+        mn, mx = _gen("mn"), _gen("mx")
+        agg = Aggregate(inner.plan, ikeys,
+                        (AggSpec("min", icol, mn), AggSpec("max", icol, mx)),
+                        est_groups=max(16, inner.size // 2))
+        plan = HashJoin(stream.plan, agg, okeys, ikeys, "left_outer",
+                        (mn, mx), capacity=_cap(inner.size), unique=True)
+        if negated:
+            pred = E.Or(E.IsNull(E.col(mn)),
+                        E.And(E.Compare("==", E.col(mn), E.col(outer_pn)),
+                              E.Compare("==", E.col(mx), E.col(outer_pn))))
+        else:
+            pred = E.And(E.IsNull(E.col(mn), negate=True),
+                         E.Or(E.Compare("!=", E.col(mn), E.col(outer_pn)),
+                              E.Compare("!=", E.col(mx), E.col(outer_pn))))
+        return dataclasses.replace(stream, plan=Filter(plan, pred))
+
+    def _apply_in(self, stream, c: ast.InSubquery, negated, outer_scope) -> Relation:
+        sub = self.plan_select(c.query, Scope([stream], parent=outer_scope))
+        out_cols = sub.all_plan_cols()
+        assert len(out_cols) == 1, "IN subquery must output one column"
+        lhs = fold_const(c.expr)
+        assert isinstance(lhs, ast.Col), "IN lhs must be a column"
+        skey = self._plan_col(stream, lhs)
+        jt = "anti" if negated else "semi"
+        plan = HashJoin(stream.plan, sub.plan, (skey,), (out_cols[0],), jt, (),
+                        capacity=_cap(sub.size))
+        return dataclasses.replace(stream, plan=plan)
+
+    def _apply_scalar_compare(self, stream, c: ast.BinOp, outer_scope,
+                              bind_fn=None) -> Relation:
+        def split(node):
+            node = fold_const(node)
+            if isinstance(node, ast.ScalarSubquery):
+                return None, node
+            if isinstance(node, ast.BinOp) and node.op == "*":
+                l, r = fold_const(node.left), fold_const(node.right)
+                if isinstance(l, ast.Lit) and isinstance(r, ast.ScalarSubquery):
+                    return l, r
+                if isinstance(r, ast.Lit) and isinstance(l, ast.ScalarSubquery):
+                    return r, l
+            return None, None
+
+        mult, sub = split(c.right)
+        lhs_ast, op = c.left, {"=": "==", "<>": "!="}.get(c.op, c.op)
+        if sub is None:
+            mult, sub = split(c.left)
+            lhs_ast, op = c.right, _flip_op({"=": "==", "<>": "!="}.get(c.op, c.op))
+            if sub is None:
+                raise NotImplementedError("no scalar subquery found in compare")
+        stream, num, den = self._plan_scalar_sub(stream, sub.query, outer_scope)
+        scope = Scope([stream], parent=outer_scope)
+        if mult is not None:
+            num = E.Arith("*", Binder(scope).bind_lit(fold_const(mult)), num)
+        if bind_fn is not None:
+            lhs = bind_fn(lhs_ast, Binder(scope))
+        else:
+            lhs = Binder(scope).bind(lhs_ast)
+        if den is None:
+            pred = E.Compare(op, lhs, num)
+        else:
+            pred = E.Compare(op, E.Arith("*", lhs, den), num)
+        return dataclasses.replace(stream, plan=Filter(stream.plan, pred))
+
+    def _plan_scalar_sub(self, stream: Relation, q: ast.SelectStmt, outer_scope):
+        """Plan a scalar aggregate subquery; returns (stream', num, den|None).
+
+        Uniform decorrelation: rewrite the subquery to GROUP BY its
+        correlation columns, plan it as a normal select, then join on the
+        correlation keys (inner join: empty group -> comparison false, which
+        matches scalar-NULL comparison semantics) or BroadcastScalar when
+        uncorrelated. avg is decomposed to sum+count so comparisons can be
+        cross-multiplied into exact integer arithmetic.
+        """
+        assert len(q.items) == 1 and not q.group_by
+        item = fold_const(q.items[0].expr)
+
+        # detect [const *] avg(x) for the exact-fraction path
+        const_mult, avg_node = None, None
+        if isinstance(item, ast.Func) and item.name == "avg":
+            avg_node = item
+        elif isinstance(item, ast.BinOp) and item.op == "*":
+            l, r = fold_const(item.left), fold_const(item.right)
+            if isinstance(l, ast.Lit) and isinstance(r, ast.Func) and r.name == "avg":
+                const_mult, avg_node = l, r
+            elif isinstance(r, ast.Lit) and isinstance(l, ast.Func) and l.name == "avg":
+                const_mult, avg_node = r, l
+
+        inner_rels = [self.plan_table_ref(r, None) for r in q.froms]
+        local, equi, nonequi = self._split_correlation(q, inner_rels, stream, outer_scope)
+        assert not nonequi, "non-equi correlated scalar subquery unsupported"
+
+        s_n, c_n, v_n = _gen("s"), _gen("n"), _gen("v")
+        if avg_node is not None:
+            arg = avg_node.args[0]
+            items = [ast.SelectItem(ast.Func("sum", [arg]), s_n),
+                     ast.SelectItem(ast.Func("count", [arg]), c_n)]
+        else:
+            items = [ast.SelectItem(item, v_n)]
+        group_cols = [inner_ast for _, inner_ast in equi]
+        items += [ast.SelectItem(g, None) for g in group_cols]
+        new_stmt = ast.SelectStmt(
+            items=items, star=False, froms=q.froms, joins=q.joins,
+            where=_and_all(local), group_by=list(group_cols), having=None,
+            order_by=[], limit=None)
+        sub = self.plan_select(new_stmt, None)
+
+        if equi:
+            okeys = tuple(pn for pn, _ in equi)
+            bkeys = tuple(self._plan_col(sub, ast.Col(g.name)) for g in group_cols)
+            carry = (s_n, c_n) if avg_node is not None else (v_n,)
+            plan = HashJoin(stream.plan, sub.plan, okeys, bkeys, "inner",
+                            carry, capacity=_cap(sub.size), unique=True)
+            stream2 = dataclasses.replace(stream, plan=plan)
+        else:
+            carry = (s_n, c_n) if avg_node is not None else (v_n,)
+            plan = BroadcastScalar(stream.plan, sub.plan, carry)
+            stream2 = dataclasses.replace(stream, plan=plan)
+        # expose the carried columns for binding
+        maps = dict(stream2.maps)
+        maps.setdefault("_sub", {}).update({n: n for n in carry})
+        stream2 = dataclasses.replace(stream2, maps=maps)
+
+        if avg_node is not None:
+            num, den = E.col(s_n), E.col(c_n)
+            if const_mult is not None:
+                num = E.Arith("*", Binder(Scope([stream2])).bind_lit(const_mult), num)
+            return stream2, num, den
+        return stream2, E.col(v_n), None
+
+    # -- aggregation & output -----------------------------------------------------
+    def _finish(self, stmt: ast.SelectStmt, stream: Relation, outer_scope) -> Relation:
+        scope = Scope([stream], parent=outer_scope)
+        agg_nodes: list[ast.Func] = []
+        for it in stmt.items:
+            collect_aggs(it.expr, agg_nodes)
+        if stmt.having is not None:
+            collect_aggs(stmt.having, agg_nodes)
+        for e, _ in stmt.order_by:
+            collect_aggs(e, agg_nodes)
+
+        self._agg_map = {}
+        if agg_nodes or stmt.group_by:
+            stream = self._plan_aggregate(stmt, stream, agg_nodes, scope)
+            scope = Scope([stream], parent=outer_scope)
+
+        outputs: dict[str, object] = {}
+        out_names: list[str] = []
+        b = Binder(scope)
+        for it in stmt.items:
+            name = it.alias or (it.expr.name if isinstance(it.expr, ast.Col) else _gen("col"))
+            outputs[name] = self._bind_with_agg_refs(it.expr, b)
+            out_names.append(name)
+        plan = Project(stream.plan, outputs)
+        uks = []
+        if stmt.group_by:
+            gb_out = []
+            for g in stmt.group_by:
+                for it, name in zip(stmt.items, out_names):
+                    if _ast_equal(it.expr, g):
+                        gb_out.append(name)
+                        break
+            if len(gb_out) == len(stmt.group_by):
+                uks = [tuple(gb_out)]
+        rel = Relation(plan, {"q": {n: n for n in out_names}}, uks, stream.size)
+
+        if stmt.distinct:
+            rel = dataclasses.replace(
+                rel, plan=Aggregate(rel.plan, tuple(out_names), (),
+                                    est_groups=max(16, stream.size // 4)),
+                unique_keys=[tuple(out_names)])
+
+        if stmt.order_by:
+            keys = tuple(SortKey(self._resolve_order_key(e, stmt, out_names), asc=asc)
+                         for e, asc in stmt.order_by)
+            rel = dataclasses.replace(rel, plan=Sort(rel.plan, keys, limit=stmt.limit))
+        elif stmt.limit is not None:
+            rel = dataclasses.replace(rel, plan=Limit(rel.plan, stmt.limit))
+        return rel
+
+    def _resolve_order_key(self, e: ast.Node, stmt, out_names) -> str:
+        if isinstance(e, ast.Col) and e.name in out_names:
+            return e.name
+        if isinstance(e, ast.Lit) and e.kind == "int":
+            return out_names[e.value - 1]
+        for it, name in zip(stmt.items, out_names):
+            if _ast_equal(it.expr, e):
+                return name
+        if isinstance(e, ast.Col):
+            for it, name in zip(stmt.items, out_names):
+                if isinstance(it.expr, ast.Col) and it.expr.name == e.name:
+                    return name
+        raise NotImplementedError(f"ORDER BY expression not in select list: {e}")
+
+    def _plan_aggregate(self, stmt, stream: Relation, agg_nodes, scope) -> Relation:
+        b = Binder(scope)
+        key_names, pre_cols = [], {}
+        key_sql_map: dict[str, str] = {}
+        for g in stmt.group_by:
+            g = fold_const(g)
+            if isinstance(g, ast.Col):
+                pn = self._plan_col(stream, g)
+                key_names.append(pn)
+                key_sql_map[g.name] = pn
+            else:
+                name = _gen("k")
+                pre_cols[name] = b.bind(g)
+                key_names.append(name)
+
+        specs: list[AggSpec] = []
+        distinct_aggs = []
+        for node in agg_nodes:
+            if id(node) in self._agg_map:
+                continue
+            if node.distinct:
+                arg = _gen("d")
+                pre_cols[arg] = b.bind(node.args[0])
+                out = _gen("cd")
+                distinct_aggs.append((node, arg, out))
+                self._agg_map[id(node)] = ("col", out)
+                continue
+            if node.name == "avg":
+                arg = _gen("a")
+                pre_cols[arg] = b.bind(node.args[0])
+                s, n = _gen("s"), _gen("n")
+                specs += [AggSpec("sum", arg, s), AggSpec("count", arg, n)]
+                self._agg_map[id(node)] = ("avg", s, n)
+                continue
+            if node.star:
+                out = _gen("cs")
+                specs.append(AggSpec("count_star", None, out))
+                self._agg_map[id(node)] = ("col", out)
+                continue
+            arg_ast = fold_const(node.args[0])
+            if isinstance(arg_ast, ast.Col):
+                arg = self._plan_col(stream, arg_ast)
+            else:
+                arg = _gen("a")
+                pre_cols[arg] = b.bind(arg_ast)
+            out = _gen("ag")
+            specs.append(AggSpec(node.name, arg, out))
+            self._agg_map[id(node)] = ("col", out)
+
+        plan = stream.plan
+        if pre_cols:
+            plan = AddColumns(plan, pre_cols)
+        est = self._est_groups(stream, stmt.group_by)
+
+        if distinct_aggs:
+            assert len(distinct_aggs) == 1 and not specs, \
+                "count(distinct) mixed with other aggregates unsupported"
+            node, arg, out = distinct_aggs[0]
+            d1 = Aggregate(plan, tuple(key_names) + (arg,), (),
+                           est_groups=max(est * 8, 64))
+            agg_plan = Aggregate(d1, tuple(key_names),
+                                 (AggSpec("count", arg, out),), est_groups=est)
+        else:
+            agg_plan = Aggregate(plan, tuple(key_names), tuple(specs), est_groups=est)
+
+        # name map: group keys keep their sql names; agg outputs synthetic
+        gk_map = {}
+        for alias, m in stream.maps.items():
+            gk_map[alias] = {sql: pn for sql, pn in m.items() if pn in key_names}
+        synth = {pn: pn for pn in key_names}
+        synth.update({s.out: s.out for s in specs})
+        if distinct_aggs:
+            synth[distinct_aggs[0][2]] = distinct_aggs[0][2]
+        gk_map["_agg"] = synth
+        out_rel = Relation(agg_plan, gk_map, [tuple(key_names)], max(1, est))
+
+        if stmt.having is not None:
+            for c in conjuncts(stmt.having):
+                if contains_subquery(c):
+                    out_rel = self.apply_subquery_pred(
+                        out_rel, c, None, bind_fn=self._bind_with_agg_refs)
+                else:
+                    pred = self._bind_with_agg_refs(c, Binder(Scope([out_rel])))
+                    out_rel = dataclasses.replace(out_rel, plan=Filter(out_rel.plan, pred))
+        return out_rel
+
+    def _est_groups(self, stream: Relation, group_by) -> int:
+        est = 1
+        for g in group_by:
+            ndv = None
+            if isinstance(g, ast.Col):
+                for tmeta in self.catalog.tables.values():
+                    if g.name in tmeta.stats:
+                        ndv = tmeta.stats[g.name].ndv
+                        break
+            est *= ndv if ndv else 64
+        return int(min(max(est, 16), max(stream.size, 16)))
+
+    def _bind_with_agg_refs(self, node: ast.Node, binder: Binder) -> E.Expr:
+        amap = getattr(self, "_agg_map", {})
+        if id(node) in amap:
+            entry = amap[id(node)]
+            if entry[0] == "col":
+                return E.col(entry[1])
+            _, s, n = entry
+            return E.Arith("/", E.col(s), E.col(n))
+        if isinstance(node, ast.BinOp):
+            if node.op in ("and", "or"):
+                l = self._bind_with_agg_refs(node.left, binder)
+                r = self._bind_with_agg_refs(node.right, binder)
+                return E.And(l, r) if node.op == "and" else E.Or(l, r)
+            l = self._bind_with_agg_refs(node.left, binder)
+            r = self._bind_with_agg_refs(node.right, binder)
+            if node.op in ("+", "-", "*", "/"):
+                return E.Arith(node.op, l, r)
+            return E.Compare({"=": "==", "<>": "!="}.get(node.op, node.op), l, r)
+        if isinstance(node, ast.UnaryOp) and node.op == "-":
+            return E.Arith("-", E.lift(0), self._bind_with_agg_refs(node.child, binder))
+        if isinstance(node, ast.CaseExpr):
+            branches = [(self._bind_with_agg_refs(c, binder),
+                         self._bind_with_agg_refs(v, binder))
+                        for c, v in node.branches]
+            return E.Case(branches, self._bind_with_agg_refs(node.default, binder))
+        if isinstance(node, ast.Func) and node.name in ("sum", "avg", "count", "min", "max"):
+            raise ValueError("aggregate not planned (agg_map miss)")
+        return binder.bind(node)
+
+
+def plan_sql(text: str, catalog: Catalog) -> PlanNode:
+    from starrocks_tpu.sql.parser import parse
+    stmt = parse(text)
+    return Planner(catalog).plan_select(stmt).plan
