@@ -42,4 +42,32 @@ class Session:
 
     def sql(self, text: str):
         """Run a query, return a pandas DataFrame of the result rows."""
-        return self.execute(text).to_pandas()
+        import time
+        from starrocks_tpu.utils.metrics import AUDIT, REGISTRY, AuditRecord
+
+        t0 = time.perf_counter()
+        try:
+            df = self.execute(text).to_pandas()
+        except Exception as e:
+            REGISTRY.inc("queries_failed_total")
+            AUDIT.record(AuditRecord(time.time(), text.strip()[:500],
+                                     (time.perf_counter() - t0) * 1e3, 0,
+                                     ok=False, error=str(e)[:200]))
+            raise
+        wall_ms = (time.perf_counter() - t0) * 1e3
+        REGISTRY.inc("queries_total")
+        REGISTRY.inc("rows_returned_total", len(df))
+        REGISTRY.inc("query_ms_total", wall_ms)
+        AUDIT.record(AuditRecord(time.time(), text.strip()[:500], wall_ms,
+                                 len(df), ok=True))
+        return df
+
+    def explain(self, text: str) -> str:
+        from starrocks_tpu.utils.profile import explain
+        return explain(self.plan(text))
+
+    def explain_analyze(self, text: str):
+        """Run with per-operator timing; returns (DataFrame, profile text)."""
+        from starrocks_tpu.utils.profile import explain_analyze
+        result, prof = explain_analyze(self.plan(text), self.tables)
+        return result.to_pandas(), prof.render()

@@ -1,0 +1,109 @@
+"""Metrics registry + audit log + Prometheus-format endpoint.
+
+Analog of StarRocks' MetricRegistry (be/src/util/metrics.h:61), the
+Prometheus text endpoint (be/src/http/action/metrics_action.cpp) and the FE
+audit log (fe/.../qe/AuditLogBuilder.java).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Optional
+
+
+class MetricRegistry:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._counters: dict[str, float] = {}
+        self._gauges: dict[str, float] = {}
+
+    def inc(self, name: str, value: float = 1.0):
+        with self._lock:
+            self._counters[name] = self._counters.get(name, 0.0) + value
+
+    def set_gauge(self, name: str, value: float):
+        with self._lock:
+            self._gauges[name] = value
+
+    def snapshot(self) -> dict[str, float]:
+        with self._lock:
+            return {**self._counters, **self._gauges}
+
+    def prometheus_text(self) -> str:
+        lines = []
+        with self._lock:
+            for name, v in sorted(self._counters.items()):
+                lines.append(f"# TYPE starrocks_tpu_{name} counter")
+                lines.append(f"starrocks_tpu_{name} {v}")
+            for name, v in sorted(self._gauges.items()):
+                lines.append(f"# TYPE starrocks_tpu_{name} gauge")
+                lines.append(f"starrocks_tpu_{name} {v}")
+        return "\n".join(lines) + "\n"
+
+
+REGISTRY = MetricRegistry()
+
+
+@dataclasses.dataclass
+class AuditRecord:
+    ts: float
+    sql: str
+    wall_ms: float
+    rows: int
+    ok: bool
+    error: Optional[str] = None
+
+
+class AuditLog:
+    def __init__(self, capacity: int = 10_000):
+        self._lock = threading.Lock()
+        self._records: list[AuditRecord] = []
+        self._capacity = capacity
+
+    def record(self, rec: AuditRecord):
+        with self._lock:
+            self._records.append(rec)
+            if len(self._records) > self._capacity:
+                self._records = self._records[-self._capacity:]
+
+    def tail(self, n: int = 100) -> list[AuditRecord]:
+        with self._lock:
+            return list(self._records[-n:])
+
+
+AUDIT = AuditLog()
+
+
+def serve_metrics(port: int = 18030, registry: MetricRegistry = REGISTRY):
+    """Start a background HTTP server exposing /metrics (Prometheus text)
+    and /audit (JSON tail). Returns the server (call .shutdown() to stop)."""
+    import http.server
+    import json
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.startswith("/metrics"):
+                body = registry.prometheus_text().encode()
+                ctype = "text/plain; version=0.0.4"
+            elif self.path.startswith("/audit"):
+                body = json.dumps([dataclasses.asdict(r) for r in AUDIT.tail()]).encode()
+                ctype = "application/json"
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv

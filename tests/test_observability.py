@@ -1,0 +1,57 @@
+import json
+import urllib.request
+
+import pytest
+
+from starrocks_tpu.exec.session import Session
+from starrocks_tpu.sql.tpch_sql import QUERIES
+
+
+@pytest.fixture(scope="module")
+def session(tpch_tables):
+    return Session(tpch_tables)
+
+
+def test_explain_renders_plan(session):
+    text = session.explain(QUERIES["q3"])
+    assert "HashJoin" in text and "Aggregate" in text and "Sort" in text
+    assert "Scan [table=lineitem]" in text
+
+
+def test_explain_analyze_counts_rows(session, tpch_frames):
+    df, prof = session.explain_analyze(QUERIES["q5"])
+    assert len(df) == 5
+    assert "rows=" in prof and "time=" in prof
+    # root row count matches result
+    first = prof.splitlines()[0]
+    assert "rows=5" in first
+
+
+def test_metrics_and_audit_endpoint(session):
+    from starrocks_tpu.utils import metrics as M
+
+    before = M.REGISTRY.snapshot().get("queries_total", 0)
+    session.sql("select count(*) as n from nation")
+    after = M.REGISTRY.snapshot()["queries_total"]
+    assert after == before + 1
+
+    srv = M.serve_metrics(port=18731)
+    try:
+        text = urllib.request.urlopen(
+            "http://127.0.0.1:18731/metrics", timeout=10).read().decode()
+        assert "starrocks_tpu_queries_total" in text
+        audit = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/audit", timeout=10).read().decode())
+        assert any("nation" in r["sql"] for r in audit)
+        assert all(r["ok"] for r in audit[-1:])
+    finally:
+        srv.shutdown()
+
+
+def test_audit_records_failures(session):
+    from starrocks_tpu.utils import metrics as M
+
+    with pytest.raises(Exception):
+        session.sql("select nope from nation")
+    rec = M.AUDIT.tail(1)[0]
+    assert not rec.ok and "nope" in (rec.error or "")
