@@ -245,6 +245,91 @@ def _global_agg(t: Table, aggs: Sequence[AggSpec]) -> Table:
 
 
 @dataclasses.dataclass(eq=False)
+class SetOp(PlanNode):
+    """UNION [ALL] / INTERSECT / EXCEPT of two inputs with positionally
+    aligned columns (analog of be/src/exec/union_node.cpp,
+    except_hash_set.h / intersect_hash_set.h — implemented as concat +
+    distinct-aggregate / semi / anti joins over all columns)."""
+    left: PlanNode
+    right: PlanNode
+    kind: str          # union_all | union | intersect | except
+    est_rows: int = 4096
+
+    def run(self, ctx):
+        from starrocks_tpu.column import dtypes as _dt
+        from starrocks_tpu.ops import hash_agg as _ha
+        from starrocks_tpu.ops import hash_join as _hj
+
+        lt = self.left.run(ctx)
+        rt = self.right.run(ctx)
+        lnames = lt.column_names()
+        rnames = rt.column_names()
+        assert len(lnames) == len(rnames), "set op arity mismatch"
+        # unify string dictionaries positionally
+        lcols, rcols = {}, {}
+        for ln, rn in zip(lnames, rnames):
+            a, b = lt[ln], rt[rn]
+            if a.dtype.is_string and a.dict_id != b.dict_id:
+                a, b = _unify_dicts(a, b)
+            lcols[ln], rcols[ln] = a, b
+
+        if self.kind in ("union_all", "union"):
+            cols = {}
+            for ln in lnames:
+                a, b = lcols[ln], rcols[ln]
+                data = jnp.concatenate([a.data, b.data.astype(a.data.dtype)])
+                if a.valid is None and b.valid is None:
+                    valid = None
+                else:
+                    valid = jnp.concatenate([a.validity(), b.validity()])
+                cols[ln] = Column(data, valid, a.dtype, a.dict_id)
+            live = jnp.concatenate([lt.live_mask(), rt.live_mask()])
+            out = Table(columns=cols, live=live)
+            if self.kind == "union":
+                cap = ctx.capacity(self.node_id,
+                                   hash_agg._next_pow2(max(16, self.est_rows * 2)))
+                out, ov = _ha.hash_groupby(out, tuple(lnames), (), cap)
+                ctx.report(self.node_id, ov)
+            return out
+
+        # intersect / except: distinct left, then semi/anti join on all cols
+        cap = ctx.capacity(self.node_id,
+                           hash_agg._next_pow2(max(16, self.est_rows * 2)))
+        ltab = Table(columns=lcols, live=lt.live)
+        rtab = Table(columns=rcols, live=rt.live)
+        dl, ov = _ha.hash_groupby(ltab, tuple(lnames), (), cap)
+        ctx.report(self.node_id, ov)
+        bt = _hj.build([rtab[n] for n in lnames], rtab.live_mask(),
+                       ctx.capacity(-self.node_id - 1, _cap_pow2(rt.nrows)))
+        ctx.report(-self.node_id - 1, bt.overflow)
+        matched, _ = _hj.lookup(bt, [dl[n] for n in lnames], dl.live_mask())
+        keep = matched if self.kind == "intersect" else ~matched
+        return dl.filter(keep)
+
+
+def _cap_pow2(n):
+    p = 16
+    while p < 2 * max(n, 1):
+        p *= 2
+    return p
+
+
+def _unify_dicts(a: Column, b: Column):
+    """Remap two dict-encoded columns onto their union dictionary
+    (trace-time host work; dictionaries are static metadata)."""
+    import numpy as np
+    from starrocks_tpu.column import dtypes as _dt
+
+    va, vb = _dt.dict_values(a.dict_id), _dt.dict_values(b.dict_id)
+    union = np.unique(np.concatenate([va, vb]))
+    did = _dt.register_dict(union)
+    la = jnp.asarray(np.searchsorted(union, va).astype(np.int32))
+    lb = jnp.asarray(np.searchsorted(union, vb).astype(np.int32))
+    return (Column(la[a.data], a.valid, a.dtype, did),
+            Column(lb[b.data], b.valid, b.dtype, did))
+
+
+@dataclasses.dataclass(eq=False)
 class BroadcastScalar(PlanNode):
     """Attach columns of a single-row source (e.g. a global aggregate) to
     every row of child — the engine's scalar-subquery primitive (the analog

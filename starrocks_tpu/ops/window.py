@@ -1,0 +1,192 @@
+"""Window / analytic function evaluation.
+
+Analog of StarRocks' Analytor (be/src/exec/analytor.h:52, analytic_node.cpp),
+redesigned for XLA: instead of frame-by-frame evaluation over sorted chunk
+runs, rows are sorted by (partition, order) once, per-partition results are
+computed with segmented scans (cumsum + segment-start gather — pure
+vectorized ops), and scattered back through the inverse permutation. All
+static shapes; dead rows sort last and are excluded via masks.
+
+Supported functions:
+  row_number, rank, dense_rank,
+  sum/min/max/count/avg over the whole partition, or as a running
+  (unbounded-preceding) frame when `running=True`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+
+from starrocks_tpu.column import dtypes as dt
+from starrocks_tpu.column.column import Column, Table
+from starrocks_tpu.ops.sort import SortKey, sort_permutation
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowSpec:
+    fn: str                      # row_number | rank | dense_rank | sum | min | max | count | avg
+    col: Optional[str]           # input column (None for row_number/rank/count(*))
+    out: str
+    running: bool = False        # unbounded-preceding frame instead of whole partition
+
+
+def _segment_starts(sorted_cols, live_sorted):
+    """Boolean: row starts a new partition (first live row of each group)."""
+    n = live_sorted.shape[0]
+    start = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+    for c in sorted_cols:
+        prev = jnp.roll(c.data, 1)
+        neq = c.data != prev
+        if c.valid is not None:
+            pv = jnp.roll(c.valid, 1)
+            neq = neq | (c.valid != pv)
+        start = start | neq
+    return start.at[0].set(True)
+
+
+def _order_changes(sorted_cols):
+    n = sorted_cols[0].data.shape[0]
+    ch = jnp.zeros((n,), jnp.bool_)
+    for c in sorted_cols:
+        prev = jnp.roll(c.data, 1)
+        ch = ch | (c.data != prev)
+        if c.valid is not None:
+            ch = ch | (c.valid != jnp.roll(c.valid, 1))
+    return ch.at[0].set(True)
+
+
+def window(
+    table: Table,
+    partition_by: Sequence[str],
+    order_by: Sequence[SortKey],
+    specs: Sequence[WindowSpec],
+) -> Table:
+    """Returns `table` with window result columns appended."""
+    n = table.nrows
+    keys = [SortKey(k) for k in partition_by] + list(order_by)
+    perm = sort_permutation(table, keys)
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+    sorted_t = table.gather(perm)
+    live_s = sorted_t.live_mask()
+    part_cols = [sorted_t[k] for k in partition_by]
+    start = _segment_starts(part_cols, live_s) if partition_by else \
+        jnp.zeros((n,), jnp.bool_).at[0].set(True)
+
+    # segment id and index of each row's segment start
+    seg_id = jnp.cumsum(start.astype(jnp.int32)) - 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg_first = jnp.where(start, idx, 0)
+    seg_first = jax_max_scan(seg_first)
+
+    out = table
+    for spec in specs:
+        if spec.fn == "row_number":
+            vals = (idx - seg_first + 1).astype(jnp.int64)
+            col = Column(vals[inv], None, dt.INT64)
+        elif spec.fn in ("rank", "dense_rank"):
+            ordc = [sorted_t[k.name] for k in order_by]
+            change = _order_changes(ordc) | start
+            if spec.fn == "rank":
+                rank_pos = jnp.where(change, idx, 0)
+                rank_pos = jax_max_scan(rank_pos)
+                vals = (rank_pos - seg_first + 1).astype(jnp.int64)
+            else:
+                dr = jnp.cumsum(change.astype(jnp.int64))
+                first_dr = jnp.where(start, dr, 0)
+                first_dr = jax_max_scan(first_dr)
+                vals = dr - first_dr + 1
+            col = Column(vals[inv], None, dt.INT64)
+        else:
+            c = sorted_t[spec.col] if spec.col else None
+            if spec.fn == "count":
+                contrib = (live_s if c is None else
+                           (live_s & c.validity() if c.valid is not None else live_s)
+                           ).astype(jnp.int64)
+                running = _running_sum(contrib, seg_first)
+                vals = running if spec.running else _segment_total(running, seg_id, n, seg_first)
+                col = Column(vals[inv], None, dt.INT64)
+            elif spec.fn in ("sum", "avg"):
+                mask = live_s if c.valid is None else (live_s & c.valid)
+                data = jnp.where(mask, c.data.astype(jnp.int64)
+                                 if not jnp.issubdtype(c.data.dtype, jnp.floating)
+                                 else c.data, 0)
+                running = _running_sum(data, seg_first)
+                cnt = _running_sum(mask.astype(jnp.int64), seg_first)
+                if not spec.running:
+                    running = _segment_total(running, seg_id, n, seg_first)
+                    cnt = _segment_total(cnt, seg_id, n, seg_first)
+                if spec.fn == "avg":
+                    fv = running.astype(jnp.float64) / jnp.maximum(cnt, 1)
+                    col = Column(fv[inv], (cnt > 0)[inv], dt.FLOAT64)
+                else:
+                    out_dt = c.dtype if c.dtype.is_decimal else dt.INT64
+                    col = Column(running[inv].astype(out_dt.jnp_dtype),
+                                 (cnt > 0)[inv], out_dt)
+            elif spec.fn in ("min", "max"):
+                from starrocks_tpu.ops.hash_agg import _type_max, _type_min
+                sent = _type_max(c.data.dtype) if spec.fn == "min" else _type_min(c.data.dtype)
+                mask = live_s if c.valid is None else (live_s & c.valid)
+                data = jnp.where(mask, c.data, sent)
+                running = _running_minmax(data, seg_first, spec.fn)
+                cnt = _running_sum(mask.astype(jnp.int64), seg_first)
+                if not spec.running:
+                    running = _segment_reduce_pick_last(running, seg_id, n, seg_first)
+                    cnt = _segment_total(cnt, seg_id, n, seg_first)
+                col = Column(running[inv], (cnt > 0)[inv], c.dtype, c.dict_id)
+            else:
+                raise ValueError(spec.fn)
+        out = out.with_column(spec.out, col)
+    return out
+
+
+def jax_max_scan(x):
+    """Inclusive running maximum."""
+    import jax
+    return jax.lax.associative_scan(jnp.maximum, x)
+
+
+def _running_sum(data, seg_first):
+    """Running sum within segments: cumsum minus prefix before segment."""
+    s = jnp.cumsum(data)
+    before = jnp.where(seg_first > 0, s[jnp.maximum(seg_first - 1, 0)], 0)
+    return s - before
+
+
+def _running_minmax(data, seg_first, fn):
+    import jax
+    op = jnp.minimum if fn == "min" else jnp.maximum
+    idx = jnp.arange(data.shape[0])
+    # associative scan over (segment-reset) pairs: carry (seg_first, value)
+    def combine(a, b):
+        af, av = a
+        bf, bv = b
+        v = jnp.where(bf > af, bv, op(av, bv))
+        return jnp.maximum(af, bf), v
+    _, vals = jax.lax.associative_scan(combine, (seg_first, data))
+    return vals
+
+
+def _segment_end(seg_first, n):
+    """Index of each row's segment-final row (deterministic: the row before
+    the next segment start, or n-1 for the last segment)."""
+    import jax
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = seg_first == idx
+    a = jnp.where(is_start, idx, n)
+    a_shift = jnp.concatenate([a[1:], jnp.array([n], a.dtype)])
+    nxt = jax.lax.associative_scan(jnp.minimum, a_shift, reverse=True)
+    return jnp.minimum(nxt - 1, n - 1)
+
+
+def _segment_total(running, seg_id, n, seg_first=None):
+    """Broadcast each segment's final running value to all its rows."""
+    if seg_first is None:
+        raise ValueError("seg_first required")
+    return running[_segment_end(seg_first, n)]
+
+
+def _segment_reduce_pick_last(running, seg_id, n, seg_first=None):
+    return _segment_total(running, seg_id, n, seg_first)

@@ -135,6 +135,15 @@ class SelectItem(Node):
 
 
 @dataclasses.dataclass
+class SetOpStmt(Node):
+    kind: str              # union | union_all | intersect | except
+    left: Node             # SelectStmt | SetOpStmt
+    right: Node
+    order_by: list = dataclasses.field(default_factory=list)
+    limit: "Optional[int]" = None
+
+
+@dataclasses.dataclass
 class SelectStmt(Node):
     items: list            # [SelectItem]; [] + star=True for SELECT *
     star: bool

@@ -25,7 +25,7 @@ KEYWORDS = {
     "right", "full", "outer", "on", "asc", "desc", "distinct", "date",
     "interval", "year", "month", "day", "extract", "substring", "count",
     "sum", "avg", "min", "max", "all", "any", "union", "cast", "coalesce",
-    "true", "false", "view", "create", "drop", "table",
+    "true", "false", "view", "create", "drop", "table", "intersect", "except",
 }
 
 SYMBOLS = ["<>", "<=", ">=", "!=", "||", "(", ")", ",", ".", ";", "+", "-",

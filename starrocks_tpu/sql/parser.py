@@ -47,11 +47,29 @@ class Parser:
         return self.accept("KEYWORD", word)
 
     # -- entry ----------------------------------------------------------------
-    def parse(self) -> ast.SelectStmt:
-        stmt = self.parse_select()
+    def parse(self):
+        stmt = self.parse_compound()
         self.accept("SYMBOL", ";")
         self.expect("EOF")
         return stmt
+
+    def parse_compound(self):
+        left = self.parse_select()
+        while True:
+            kind = None
+            if self.kw("union"):
+                kind = "union_all" if self.kw("all") else "union"
+            elif self.kw("intersect"):
+                kind = "intersect"
+            elif self.kw("except"):
+                kind = "except"
+            if kind is None:
+                return left
+            right = self.parse_select()
+            # ORDER BY / LIMIT after the last select belong to the compound
+            order_by, limit = right.order_by, right.limit
+            right.order_by, right.limit = [], None
+            left = ast.SetOpStmt(kind, left, right, order_by, limit)
 
     def parse_select(self) -> ast.SelectStmt:
         self.expect("KEYWORD", "select")
@@ -130,7 +148,7 @@ class Parser:
 
     def parse_table_ref(self):
         if self.accept("SYMBOL", "("):
-            q = self.parse_select()
+            q = self.parse_compound()
             self.expect("SYMBOL", ")")
             self.kw("as")
             alias = self.expect("IDENT").value if self.peek().kind == "IDENT" else None

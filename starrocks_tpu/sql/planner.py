@@ -385,7 +385,7 @@ class Planner:
     # -- FROM items ------------------------------------------------------------
     def plan_table_ref(self, ref, outer_scope) -> Relation:
         if isinstance(ref, ast.SubqueryRef):
-            rel = self.plan_select(ref.query, outer_scope)
+            rel = self.plan_stmt(ref.query, outer_scope)
             alias = ref.alias or _gen("sq")
             merged = {}
             for m in rel.maps.values():
@@ -406,6 +406,38 @@ class Planner:
         return Relation(plan, {alias: cmap}, uks, meta.size)
 
     # -- main --------------------------------------------------------------------
+    def plan_stmt(self, stmt, outer_scope: Optional[Scope] = None) -> Relation:
+        if isinstance(stmt, ast.SetOpStmt):
+            return self.plan_setop(stmt, outer_scope)
+        return self.plan_select(stmt, outer_scope)
+
+    def plan_setop(self, stmt: ast.SetOpStmt, outer_scope=None) -> Relation:
+        from starrocks_tpu.exec.plan import SetOp
+
+        left = self.plan_stmt(stmt.left, outer_scope)
+        right = self.plan_stmt(stmt.right, outer_scope)
+        lnames = left.all_plan_cols()
+        rnames = right.all_plan_cols()
+        assert len(lnames) == len(rnames), "set op arity mismatch"
+        # align right's columns positionally to left's names
+        rplan = Project(right.plan, {ln: rn for ln, rn in zip(lnames, rnames)}) \
+            if lnames != rnames else right.plan
+        est = left.size + right.size
+        plan = SetOp(left.plan, rplan, stmt.kind, est_rows=est)
+        uks = [] if stmt.kind == "union_all" else [tuple(lnames)]
+        rel = Relation(plan, {"q": {n: n for n in lnames}}, uks, est)
+        if stmt.order_by:
+            keys = []
+            for e, asc in stmt.order_by:
+                assert isinstance(e, ast.Col) and e.name in lnames, \
+                    "compound ORDER BY must name an output column"
+                keys.append(SortKey(e.name, asc=asc))
+            rel = dataclasses.replace(rel, plan=Sort(rel.plan, tuple(keys),
+                                                     limit=stmt.limit))
+        elif stmt.limit is not None:
+            rel = dataclasses.replace(rel, plan=Limit(rel.plan, stmt.limit))
+        return rel
+
     def plan_select(self, stmt: ast.SelectStmt, outer_scope: Optional[Scope] = None) -> Relation:
         # nested planning (subqueries) must not clobber the caller's agg map
         prev_agg_map = getattr(self, "_agg_map", None)
@@ -957,4 +989,4 @@ class Planner:
 def plan_sql(text: str, catalog: Catalog) -> PlanNode:
     from starrocks_tpu.sql.parser import parse
     stmt = parse(text)
-    return Planner(catalog).plan_select(stmt).plan
+    return Planner(catalog).plan_stmt(stmt).plan
