@@ -77,7 +77,7 @@ def main():
     # 2. low-cardinality group-by (Q1 class: 8 groups)
     from starrocks_tpu.column import dtypes as dtp
     from starrocks_tpu.column.column import Column, Table
-    from starrocks_tpu.ops.hash_agg import AggSpec, hash_groupby
+    from starrocks_tpu.ops.hash_agg import AggSpec, groupby, sorted_groupby
 
     k8 = jnp.asarray(rng.integers(0, 8, n).astype(np.int64))
     def agg_low(salt, keys, vals):
@@ -85,7 +85,7 @@ def main():
             "k": Column(keys + salt, None, dtp.INT64),
             "v": Column(vals, None, dtp.INT64),
         })
-        out, _ = hash_groupby(t, ("k",), (AggSpec("sum", "v", "s"),), 64)
+        out = groupby(t, ("k",), (AggSpec("sum", "v", "s"),))
         return jnp.sum(out["s"].data)
     dt = bench_scan(agg_low, (k8, price))
     report("hash_agg_8groups_rows_per_s", n / dt)
@@ -97,7 +97,7 @@ def main():
             "k": Column(keys + salt, None, dtp.INT64),
             "v": Column(vals, None, dtp.INT64),
         })
-        out, _ = hash_groupby(t, ("k",), (AggSpec("sum", "v", "s"),), 1 << 21)
+        out = sorted_groupby(t, ("k",), (AggSpec("sum", "v", "s"),))
         return jnp.sum(out["s"].data)
     try:
         dt = bench_scan(agg_high, (km, price), kiter=4)

@@ -34,16 +34,20 @@ class Column:
     valid: Optional[jax.Array]       # (N,) bool, None => all valid
     dtype: DataType                  # static
     dict_id: int = 0                 # static; >0 for STRING columns
+    vrange: Optional[tuple] = None   # static (lo, hi) value bounds if known
+                                     # (zone-map analog: drives dense group-by
+                                     # and narrow-int kernel specialization)
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
-        return (self.data, self.valid), (self.dtype, self.dict_id)
+        return (self.data, self.valid), (self.dtype, self.dict_id, self.vrange)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, valid = children
-        dtype, dict_id = aux
-        return cls(data=data, valid=valid, dtype=dtype, dict_id=dict_id)
+        dtype, dict_id, vrange = aux
+        return cls(data=data, valid=valid, dtype=dtype, dict_id=dict_id,
+                   vrange=vrange)
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -57,9 +61,15 @@ class Column:
         if dtype.is_string and dict_id == 0:
             codes, dict_id = dtypes.dict_encode(arr)
             arr = codes
-        data = jnp.asarray(np.asarray(arr, dtype.np_dtype))
+        np_arr = np.asarray(arr, dtype.np_dtype)
+        vrange = None
+        if dtype.is_string:
+            vrange = (0, max(len(dtypes.dict_values(dict_id)) - 1, 0))
+        elif np_arr.dtype.kind in "iu" and np_arr.size:
+            vrange = (int(np_arr.min()), int(np_arr.max()))
+        data = jnp.asarray(np_arr)
         v = None if valid is None else jnp.asarray(valid, jnp.bool_)
-        return cls(data=data, valid=v, dtype=dtype, dict_id=dict_id)
+        return cls(data=data, valid=v, dtype=dtype, dict_id=dict_id, vrange=vrange)
 
     # -- accessors ---------------------------------------------------------
     @property
@@ -87,7 +97,8 @@ class Column:
         valid = None if self.valid is None else self.valid[safe]
         if idx_valid is not None:
             valid = idx_valid if valid is None else (valid & idx_valid)
-        return Column(data=data, valid=valid, dtype=self.dtype, dict_id=self.dict_id)
+        return Column(data=data, valid=valid, dtype=self.dtype,
+                      dict_id=self.dict_id, vrange=self.vrange)
 
     # -- host conversion ---------------------------------------------------
     def to_numpy(self, mask: Optional[np.ndarray] = None):

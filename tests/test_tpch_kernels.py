@@ -8,7 +8,7 @@ import jax
 
 from starrocks_tpu.exprs import expr as E
 from starrocks_tpu.golden import tpch_queries as golden
-from starrocks_tpu.ops.hash_agg import AggSpec, groupby_with_retry
+from starrocks_tpu.ops.hash_agg import AggSpec, groupby
 
 
 def test_q1_exact(tpch_tables, tpch_frames):
@@ -31,7 +31,7 @@ def test_q1_exact(tpch_tables, tpch_frames):
         AggSpec("sum", "charge", "sum_charge"),
         AggSpec("count_star", None, "count_order"),
     )
-    res = groupby_with_retry(t, ("l_returnflag", "l_linestatus"), aggs, est_groups=6)
+    res = groupby(t, ("l_returnflag", "l_linestatus"), aggs)
     got = res.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
     want = golden.q1(tpch_frames)
