@@ -124,7 +124,11 @@ class AddColumns(PlanNode):
 class HashJoin(PlanNode):
     """probe (left) JOIN build (right) ON left_keys == right_keys.
 
-    join_type: inner | left_outer | semi | anti
+    join_type: inner | left_outer | semi | anti | right_outer | full_outer |
+    right_semi | right_anti | null_aware_anti
+    (full coverage of StarRocks' TJoinOp set, be/src/exec/hash_joiner.h;
+    right/full variants use build-side match flags, the build_match_index
+    analog join_hash_map.h:181; null_aware_anti implements NOT IN semantics).
     `unique=True` asserts the build side has unique keys (FK->PK joins — all
     of TPC-H when sides are chosen right); the lookup path then avoids
     expansion entirely. With unique=False, a fanout-capped expansion join
@@ -149,6 +153,26 @@ class HashJoin(PlanNode):
         cap = ctx.capacity(self.node_id, self.capacity)
         probe_cols = [p[k] for k in self.left_keys]
         build_cols = [b[k] for k in self.right_keys]
+        if self.join_type == "null_aware_anti":
+            # NOT IN semantics: drop matches; drop everything if the build
+            # set contains a NULL key; drop NULL-key probe rows unless the
+            # build set is empty (null-aware-left-anti, hash_joiner.h).
+            bt = hj.build(build_cols, b.live_mask(), cap)
+            ctx.report(self.node_id, bt.overflow)
+            matched, _ = hj.lookup(bt, probe_cols, p.live_mask())
+            blive = b.live_mask()
+            bnull = jnp.zeros((b.nrows,), jnp.bool_)
+            for c in build_cols:
+                if c.valid is not None:
+                    bnull = bnull | ~c.valid
+            build_has_null = jnp.any(blive & bnull)
+            build_nonempty = jnp.any(blive)
+            pnull = jnp.zeros((p.nrows,), jnp.bool_)
+            for c in probe_cols:
+                if c.valid is not None:
+                    pnull = pnull | ~c.valid
+            keep = ~matched & ~build_has_null & (~pnull | ~build_nonempty)
+            return p.filter(keep)
         if self.unique:
             if cap >= merge_join.MERGE_THRESHOLD:
                 # large build: sort-merge lookup (no hash table, no overflow)
@@ -158,11 +182,19 @@ class HashJoin(PlanNode):
                 bt = hj.build(build_cols, b.live_mask(), cap)
                 ctx.report(self.node_id, bt.overflow)
                 matched, row = hj.lookup(bt, probe_cols, p.live_mask())
+            if self.join_type in ("right_semi", "right_anti", "right_outer",
+                                  "full_outer"):
+                flags = hj.build_match_flags(row, matched & p.live_mask(),
+                                             b.nrows)
+                if self.join_type == "right_semi":
+                    return b.filter(flags)
+                if self.join_type == "right_anti":
+                    return b.filter(~flags)
             out = p
-            if self.join_type == "inner":
+            if self.join_type in ("inner", "right_outer"):
                 out = out.filter(matched)
                 add_valid = None
-            elif self.join_type == "left_outer":
+            elif self.join_type in ("left_outer", "full_outer"):
                 add_valid = matched
             elif self.join_type == "semi":
                 return p.filter(matched)
@@ -173,24 +205,53 @@ class HashJoin(PlanNode):
             for name in self.build_cols:
                 c = b[name].gather(row, add_valid)
                 out = out.with_column(name, c)
+            if self.join_type in ("right_outer", "full_outer"):
+                out = _append_unmatched_build(out, b, self.build_cols, flags)
             return out
         # expansion join (duplicate build keys)
         bt = hj.build(build_cols, b.live_mask(), cap)
         ctx.report(self.node_id, bt.overflow)
+        if self.join_type in ("semi", "anti", "right_semi", "right_anti"):
+            matched, row = hj.lookup(bt, probe_cols, p.live_mask())
+            if self.join_type == "semi":
+                return p.filter(matched)
+            if self.join_type == "anti":
+                return p.filter(~matched)
+            # right semi/anti need every chained build row marked, not just
+            # chain heads: match from the build side instead (symmetric probe
+            # into a probe-keys table).
+            pt = hj.build(probe_cols, p.live_mask(),
+                          ctx.capacity(-self.node_id - 2, _cap_pow2(p.nrows)))
+            ctx.report(-self.node_id - 2, pt.overflow)
+            bmatched, _ = hj.lookup(pt, build_cols, b.live_mask())
+            keep = bmatched if self.join_type == "right_semi" else ~bmatched
+            return b.filter(keep)
         fanout = ctx.capacity(-self.node_id - 1, self.fanout)
         pi, bi, ok, truncated = hj.probe_expand(bt, probe_cols, p.live_mask(), fanout)
         ctx.report(-self.node_id - 1, truncated)
-        if self.join_type in ("semi", "anti"):
-            matched, _ = hj.lookup(bt, probe_cols, p.live_mask())
-            return p.filter(matched if self.join_type == "semi" else ~matched)
-        out = p.gather(pi, ok if self.join_type == "inner" else None)
-        if self.join_type == "inner":
-            out = out.with_live(out.live_mask() & ok)
-            add_valid = None
-            for name in self.build_cols:
-                out = out.with_column(name, b[name].gather(bi))
-            return out
+        ok = ok & p.live_mask()[jnp.clip(pi, 0, p.nrows - 1)]
+        if self.join_type in ("inner", "right_outer", "full_outer"):
+            out = p.gather(pi, None if self.join_type == "full_outer" else ok)
+            if self.join_type == "inner":
+                out = out.with_live(out.live_mask() & ok)
+                for name in self.build_cols:
+                    out = out.with_column(name, b[name].gather(bi))
+                return out
+            flags = hj.build_match_flags(bi, ok, b.nrows)
+            if self.join_type == "right_outer":
+                out = out.with_live(out.live_mask() & ok)
+                for name in self.build_cols:
+                    out = out.with_column(name, b[name].gather(bi))
+            else:  # full_outer: keep unmatched probe rows (k=0 lane) w/ NULLs
+                first_lane = (jnp.arange(pi.shape[0]) % fanout) == 0
+                probe_matched, _ = hj.lookup(bt, probe_cols, p.live_mask())
+                keep = ok | (first_lane & ~probe_matched[jnp.clip(pi, 0, p.nrows - 1)])
+                out = out.with_live(out.live_mask() & keep)
+                for name in self.build_cols:
+                    out = out.with_column(name, b[name].gather(bi, ok))
+            return _append_unmatched_build(out, b, self.build_cols, flags)
         if self.join_type == "left_outer":
+            out = p.gather(pi, None)
             # keep one row per unmatched probe row (the k=0 lane), NULL build
             matched_pair = ok
             first_lane = (jnp.arange(pi.shape[0]) % fanout) == 0
@@ -231,6 +292,39 @@ def _global_agg(t: Table, aggs: Sequence[AggSpec]) -> Table:
         nn = jnp.sum(mask.astype(jnp.int64))
         if spec.fn == "count":
             cols[spec.out] = Column(nn[None], None, dt.INT64)
+            continue
+        if spec.fn in hash_agg.VAR_FNS:
+            vf = hash_agg._as_float(c.data, c.dtype)
+            s1 = jnp.sum(jnp.where(mask, vf, 0.0))
+            s2 = jnp.sum(jnp.where(mask, vf * vf, 0.0))
+            data, ok = hash_agg._variance_from_moments(
+                spec.fn, s1[None], s2[None], nn[None])
+            cols[spec.out] = Column(data, ok, dt.FLOAT64)
+            continue
+        if spec.fn in hash_agg.PCTL_FNS:
+            from starrocks_tpu.ops import scan_utils as _su
+            q = float(spec.param if spec.param is not None else 0.5)
+            inval = (~mask).astype(jnp.int32)
+            sf, sv = jax.lax.sort((inval, c.data), num_keys=2)
+            ok_s = sf == 0
+            rank = _su.prefix_sum(ok_s.astype(jnp.int64)) - 1
+            if spec.fn == "percentile_disc":
+                tgt = jnp.maximum(jnp.ceil(q * nn.astype(jnp.float64)) - 1, 0
+                                  ).astype(jnp.int64)
+                data = jnp.sum(jnp.where(ok_s & (rank == tgt), sv,
+                                         jnp.zeros((), sv.dtype)))[None]
+                od = hash_agg._agg_out_dtype(spec, c.dtype)
+                cols[spec.out] = Column(
+                    data.astype(od.jnp_dtype), (nn > 0)[None], od,
+                    c.dict_id if c.dtype.is_string else 0)
+                continue
+            vf = hash_agg._as_float(sv, c.dtype)
+            t = q * jnp.maximum(nn.astype(jnp.float64) - 1.0, 0.0)
+            lo, hi = jnp.floor(t).astype(jnp.int64), jnp.ceil(t).astype(jnp.int64)
+            vlo = jnp.sum(jnp.where(ok_s & (rank == lo), vf, 0.0))
+            vhi = jnp.sum(jnp.where(ok_s & (rank == hi), vf, 0.0))
+            data = (vlo + (vhi - vlo) * (t - jnp.floor(t)))[None]
+            cols[spec.out] = Column(data, (nn > 0)[None], dt.FLOAT64)
             continue
         if spec.fn == "sum":
             vals = c.data.astype(jnp.int64) if not jnp.issubdtype(c.data.dtype, jnp.floating) else c.data
@@ -305,6 +399,27 @@ class SetOp(PlanNode):
         matched, _ = _hj.lookup(bt, [dl[n] for n in lnames], dl.live_mask())
         keep = matched if self.kind == "intersect" else ~matched
         return dl.filter(keep)
+
+
+def _append_unmatched_build(out: Table, b: Table, build_cols, flags) -> Table:
+    """Right/full-outer tail: append build rows no probe row reached, with
+    NULL probe-side columns (the reference emits these from build_match_index
+    after probing finishes, join_hash_map.tpp right-join kernels)."""
+    app_live = b.live_mask() & ~flags
+    nb = b.nrows
+    cols = {}
+    for name, c in out.columns.items():
+        if name in build_cols:
+            bc = b[name]
+            data = jnp.concatenate([c.data, bc.data.astype(c.data.dtype)])
+            valid = (None if c.valid is None and bc.valid is None else
+                     jnp.concatenate([c.validity(), bc.validity()]))
+        else:
+            data = jnp.concatenate([c.data, jnp.zeros((nb,), c.data.dtype)])
+            valid = jnp.concatenate([c.validity(), jnp.zeros((nb,), jnp.bool_)])
+        cols[name] = Column(data, valid, c.dtype, c.dict_id)
+    live = jnp.concatenate([out.live_mask(), app_live])
+    return Table(columns=cols, live=live)
 
 
 def _cap_pow2(n):

@@ -45,11 +45,18 @@ _NO_OWNER = jnp.iinfo(jnp.int32).max
 DENSE_LIMIT = 64  # max slots for the masked-reduction dense path
 
 
+VAR_FNS = ("var_pop", "var_samp", "stddev_pop", "stddev_samp")
+PCTL_FNS = ("percentile_cont", "percentile_disc")
+
+
 @dataclasses.dataclass(frozen=True)
 class AggSpec:
-    fn: str                    # sum | count | min | max | count_star | any
+    fn: str                    # sum | count | min | max | count_star | any |
+                               # var_pop | var_samp | stddev_pop | stddev_samp |
+                               # percentile_cont | percentile_disc
     col: Optional[str]         # input column (None for count_star)
     out: str                   # output column name
+    param: Optional[float] = None  # percentile fraction q in [0, 1]
 
 
 # ---------------------------------------------------------------------------
@@ -67,13 +74,36 @@ def _type_min(dtype):
 def _agg_out_dtype(spec: AggSpec, in_dtype: Optional[dt.DataType]) -> dt.DataType:
     if spec.fn in ("count", "count_star"):
         return dt.INT64
+    if spec.fn in VAR_FNS or spec.fn == "percentile_cont":
+        return dt.FLOAT64
     if spec.fn == "sum":
         if in_dtype.is_decimal:
             return in_dtype
         if in_dtype.kind is dt.TypeKind.FLOAT64:
             return dt.FLOAT64
         return dt.INT64
-    return in_dtype  # min/max/any
+    return in_dtype  # min/max/any/percentile_disc
+
+
+def _as_float(v, in_dtype: dt.DataType):
+    """Numeric value as float64 in natural units (decimals descaled)."""
+    f = v.astype(jnp.float64)
+    if in_dtype.is_decimal:
+        f = f / (10.0 ** in_dtype.scale)
+    return f
+
+
+def _variance_from_moments(fn, s1, s2, nn):
+    """var/stddev from per-group sum, sum-of-squares, count (float64)."""
+    nf = nn.astype(jnp.float64)
+    m2 = jnp.maximum(s2 - s1 * s1 / jnp.maximum(nf, 1.0), 0.0)
+    if fn.endswith("_pop"):
+        data, ok = m2 / jnp.maximum(nf, 1.0), nn > 0
+    else:
+        data, ok = m2 / jnp.maximum(nf - 1.0, 1.0), nn > 1
+    if fn.startswith("stddev"):
+        data = jnp.sqrt(data)
+    return data, ok
 
 
 # ---------------------------------------------------------------------------
@@ -139,6 +169,17 @@ def dense_groupby(table: Table, key_names, aggs, ranges) -> Table:
             cols[spec.out] = Column(data, None, dt.INT64)
             continue
         v = in_col.data
+        if spec.fn in VAR_FNS:
+            vf = _as_float(v, in_col.dtype)
+            s1 = jnp.stack(
+                [jnp.sum(jnp.where(cv & (slot == g), vf, 0.0)) for g in range(G)])
+            s2 = jnp.stack(
+                [jnp.sum(jnp.where(cv & (slot == g), vf * vf, 0.0)) for g in range(G)])
+            nn = jnp.stack(
+                [jnp.sum((cv & (slot == g)).astype(jnp.int64)) for g in range(G)])
+            data, ok = _variance_from_moments(spec.fn, s1, s2, nn)
+            cols[spec.out] = Column(data, ok, dt.FLOAT64)
+            continue
         if spec.fn == "sum":
             v64 = v.astype(jnp.int64) if not jnp.issubdtype(v.dtype, jnp.floating) else v
             data = jnp.stack(
@@ -177,13 +218,30 @@ def sorted_groupby(table: Table, key_names, aggs) -> Table:
             key_ops.append(jnp.where(c.valid, c.data, jnp.zeros((), c.data.dtype)))
         else:
             key_ops.append(c.data)
+    n_seg_ops = len(key_ops)
+
+    # percentile inputs participate in the sort ORDER (value-sorted within
+    # each group, NULLs last) but not in segment detection
+    ord_idx: dict[str, tuple[int, Optional[int]]] = {}
+    for spec in aggs:
+        if spec.fn not in PCTL_FNS or spec.col in ord_idx or spec.col in key_names:
+            continue
+        c = table[spec.col]
+        vi = None
+        if c.valid is not None:
+            vi = len(key_ops)
+            key_ops.append((~c.valid).astype(jnp.int32))
+        di = len(key_ops)
+        key_ops.append(c.data)
+        ord_idx[spec.col] = (di, vi)
     num_keys = len(key_ops)
 
     # payload operands: agg inputs (+ validity)
     payload: list = []
     payload_idx: dict[str, tuple[int, Optional[int]]] = {}
     for spec in aggs:
-        if spec.col is None or spec.col in payload_idx or spec.col in key_names:
+        if (spec.col is None or spec.col in payload_idx
+                or spec.col in key_names or spec.col in ord_idx):
             continue
         c = table[spec.col]
         di = len(payload)
@@ -199,11 +257,11 @@ def sorted_groupby(table: Table, key_names, aggs) -> Table:
     s_payload = sorted_ops[num_keys:]
     live_s = s_keys[0] == 0
 
-    # segment starts: any key operand differs from the previous row. The live
-    # flag (s_keys[0]) MUST participate: dead rows carry arbitrary key bytes
-    # (e.g. shuffle padding zeros) that can equal the largest live key — the
-    # live->dead transition has to break the segment.
-    start = su.segment_starts_from_neq(*[(op, None) for op in s_keys])
+    # segment starts: any group operand differs from the previous row. The
+    # live flag (s_keys[0]) MUST participate: dead rows carry arbitrary key
+    # bytes (e.g. shuffle padding zeros) that can equal the largest live key —
+    # the live->dead transition has to break the segment.
+    start = su.segment_starts_from_neq(*[(op, None) for op in s_keys[:n_seg_ops]])
     is_end = jnp.roll(start, -1).at[-1].set(True)
     live_out = is_end & live_s
 
@@ -224,6 +282,9 @@ def sorted_groupby(table: Table, key_names, aggs) -> Table:
         if spec.col in key_names:
             c = cols[spec.col]
             return c.data, (None if c.valid is None else c.valid)
+        if spec.col in ord_idx:
+            di, vi = ord_idx[spec.col]
+            return s_keys[di], (None if vi is None else s_keys[vi] == 0)
         di, vi = payload_idx[spec.col]
         return s_payload[di], (None if vi is None else s_payload[vi] == 1)
 
@@ -237,6 +298,44 @@ def sorted_groupby(table: Table, key_names, aggs) -> Table:
         nn = su.seg_sum(start, mask.astype(jnp.int64))
         if spec.fn == "count":
             cols[spec.out] = Column(nn, None, dt.INT64)
+            continue
+        in_col_ = table[spec.col]
+        if spec.fn in VAR_FNS:
+            vf = _as_float(v, in_col_.dtype)
+            s1 = su.seg_sum(start, jnp.where(mask, vf, 0.0))
+            s2 = su.seg_sum(start, jnp.where(mask, vf * vf, 0.0))
+            data, ok = _variance_from_moments(spec.fn, s1, s2, nn)
+            cols[spec.out] = Column(data, ok, dt.FLOAT64)
+            continue
+        if spec.fn in PCTL_FNS:
+            # values are sorted (NULLs last) within each segment; pick by rank
+            q = float(spec.param if spec.param is not None else 0.5)
+            rank = su.seg_sum(start, mask.astype(jnp.int64)) - 1
+            total = su.seg_broadcast_from_end(is_end, nn, jnp.zeros((), jnp.int64))
+            # single-row select by rank: max-propagate within the segment
+            # (exactly one row matches; segmented SUM of floats would pick up
+            # prefix-sum rounding, seg_sum's exclusive-base subtraction)
+            def pick(hit, vals):
+                sent = _type_min(vals.dtype)
+                return su.seg_scan(jnp.maximum, start,
+                                   jnp.where(hit, vals, sent),
+                                   jnp.asarray(sent, vals.dtype))
+            if spec.fn == "percentile_disc":
+                tgt = jnp.maximum(jnp.ceil(q * total.astype(jnp.float64)) - 1, 0
+                                  ).astype(jnp.int64)
+                data = pick(mask & (rank == tgt), v)
+                out_dtype = _agg_out_dtype(spec, in_col_.dtype)
+                cols[spec.out] = Column(
+                    data.astype(out_dtype.jnp_dtype), total > 0, out_dtype,
+                    in_col_.dict_id if in_col_.dtype.is_string else 0)
+                continue
+            vf = _as_float(v, in_col_.dtype)
+            t = q * jnp.maximum(total.astype(jnp.float64) - 1.0, 0.0)
+            lo, hi = jnp.floor(t).astype(jnp.int64), jnp.ceil(t).astype(jnp.int64)
+            vlo = pick(mask & (rank == lo), vf)
+            vhi = pick(mask & (rank == hi), vf)
+            data = vlo + (vhi - vlo) * (t - jnp.floor(t))
+            cols[spec.out] = Column(data, total > 0, dt.FLOAT64)
             continue
         if spec.fn == "sum":
             v64 = v.astype(jnp.int64) if not jnp.issubdtype(v.dtype, jnp.floating) else v
@@ -264,7 +363,7 @@ def groupby(table: Table, key_names: Sequence[str], aggs: Sequence[AggSpec]) -> 
     small (the AggHashMapVariant phase/width dispatch analog), else
     sort-based. Pure function of the table; no capacities, no retries."""
     ranges = dense_ranges(table, key_names)
-    if ranges is not None:
+    if ranges is not None and not any(s.fn in PCTL_FNS for s in aggs):
         return dense_groupby(table, key_names, aggs, ranges)
     return sorted_groupby(table, key_names, aggs)
 

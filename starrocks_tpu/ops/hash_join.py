@@ -149,10 +149,11 @@ def lookup(bt: BuildTable, probe_cols: Sequence[Column], probe_live: jnp.ndarray
     return _probe_slots(bt, probe_cols, probe_live)
 
 
-def build_match_flags(bt: BuildTable, first_match, matched, nbuild: int):
+def build_match_flags(first_match, matched, nbuild: int):
     """Mark build rows reached by any probe row (right/full-outer support,
-    the analog of build_match_index, join_hash_map.h:181). Only head rows are
-    marked here; chains are walked by probe_expand's marking variant."""
+    the analog of build_match_index, join_hash_map.h:181). Works for both the
+    lookup path (first_match/matched per probe row) and the expansion path
+    (build_idx/pair_valid per output pair)."""
     flags = jnp.zeros((nbuild,), jnp.bool_)
     flags = flags.at[jnp.where(matched, first_match, nbuild)].set(True, mode="drop")
     return flags

@@ -92,6 +92,14 @@ def seg_sum(flag, value):
     return ps - base
 
 
+def seg_broadcast_from_end(is_end, value, fill):
+    """Every row receives its segment's value at the segment END row
+    (reverse of seg_propagate_last; used to broadcast segment totals —
+    e.g. per-group valid counts for percentile rank targets)."""
+    rev = seg_propagate_last(jnp.flip(is_end), jnp.flip(value), fill)
+    return jnp.flip(rev)
+
+
 def segment_starts_from_neq(*pairs):
     """Start flags: row differs from previous in any (data, valid) pair."""
     n = pairs[0][0].shape[0]

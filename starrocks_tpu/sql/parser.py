@@ -144,6 +144,10 @@ class Parser:
             self.kw("outer")
             self.expect("KEYWORD", "join")
             return "right_outer"
+        if self.kw("full"):
+            self.kw("outer")
+            self.expect("KEYWORD", "join")
+            return "full_outer"
         return None
 
     def parse_table_ref(self):

@@ -234,8 +234,21 @@ def contains_subquery(node) -> bool:
     return bool(found)
 
 
+# SQL aggregate name -> engine AggSpec fn. VARIANCE/STDDEV map to the
+# population flavor, matching StarRocks/MySQL (fe FunctionSet aliases
+# variance=var_pop, std/stddev=stddev_pop).
+AGG_NAME_MAP = {
+    "sum": "sum", "count": "count", "min": "min", "max": "max",
+    "variance": "var_pop", "var_pop": "var_pop", "var_samp": "var_samp",
+    "stddev": "stddev_pop", "std": "stddev_pop", "stddev_pop": "stddev_pop",
+    "stddev_samp": "stddev_samp",
+    "percentile_cont": "percentile_cont", "percentile_disc": "percentile_disc",
+}
+AGG_FN_NAMES = ("avg", "approx_count_distinct") + tuple(AGG_NAME_MAP)
+
+
 def collect_aggs(node, out: list):
-    if isinstance(node, ast.Func) and node.name in ("sum", "avg", "count", "min", "max"):
+    if isinstance(node, ast.Func) and node.name in AGG_FN_NAMES:
         out.append(node)
         return
     if isinstance(node, (ast.ScalarSubquery, ast.ExistsExpr, ast.InSubquery)):
@@ -369,7 +382,7 @@ class Binder:
             return E.substring(self.bind(node.args[0]), a1.value, a2.value)
         if node.name == "coalesce":
             return E.Coalesce([self.bind(a) for a in node.args])
-        if node.name in ("sum", "avg", "count", "min", "max"):
+        if node.name in AGG_FN_NAMES:
             raise ValueError(f"aggregate {node.name} outside aggregation context")
         raise NotImplementedError(f"function {node.name}")
 
@@ -458,7 +471,7 @@ class Planner:
                 rels.append(r)
                 if jc.on is not None:
                     where = ast.BinOp("and", where, jc.on) if where else jc.on
-            elif jc.kind == "left_outer":
+            elif jc.kind in ("left_outer", "right_outer", "full_outer"):
                 left_joins.append((jc, r))
             else:
                 raise NotImplementedError(jc.kind)
@@ -586,6 +599,7 @@ class Planner:
 
     def _left_join(self, stream: Relation, build: Relation, jc: ast.JoinClause,
                    outer_scope) -> Relation:
+        jt = jc.kind  # left_outer | right_outer | full_outer
         eq_pairs, build_filters = [], []
         for c in conjuncts(jc.on):
             if (isinstance(c, ast.BinOp) and c.op == "="
@@ -596,22 +610,28 @@ class Planner:
                 if stream.lookup(r) and build.lookup(l):
                     eq_pairs.append((r, l)); continue
             if all(build.lookup(col) for col in collect_cols(c)):
+                # build-only ON filter: for left joins it pre-filters the
+                # null-extended side; for right/full the build side is
+                # preserved, so it may only disqualify matches
+                if jt != "left_outer":
+                    raise NotImplementedError(
+                        f"{jt} ON with non-equi predicate")
                 build_filters.append(c)
             else:
-                raise NotImplementedError("left join ON with probe-side predicate")
+                raise NotImplementedError("outer join ON with probe-side predicate")
         for p in build_filters:
             build = build.filtered(Binder(Scope([build])).bind(p))
         skeys = tuple(self._plan_col(stream, l) for l, _ in eq_pairs)
         bkeys = tuple(self._plan_col(build, r) for _, r in eq_pairs)
         b_unique = any(set(uk) <= set(bkeys) for uk in build.unique_keys)
-        plan = HashJoin(stream.plan, build.plan, skeys, bkeys, "left_outer",
+        plan = HashJoin(stream.plan, build.plan, skeys, bkeys, jt,
                         tuple(build.all_plan_cols()), capacity=_cap(build.size),
                         unique=b_unique, fanout=32)
         maps = dict(stream.maps)
         for alias, m in build.maps.items():
             maps.setdefault(alias, {}).update(m)
-        return Relation(plan, maps, stream.unique_keys if b_unique else [],
-                        max(stream.size, build.size))
+        uks = (stream.unique_keys if b_unique and jt == "left_outer" else [])
+        return Relation(plan, maps, uks, max(stream.size, build.size))
 
     # -- subquery predicates ---------------------------------------------------------
     def apply_subquery_pred(self, stream: Relation, c: ast.Node, outer_scope,
@@ -878,7 +898,11 @@ class Planner:
         for node in agg_nodes:
             if id(node) in self._agg_map:
                 continue
-            if node.distinct:
+            if node.distinct or node.name == "approx_count_distinct":
+                # approx_count_distinct is answered exactly via the same
+                # two-level distinct aggregation (the HLL sketch of the
+                # reference trades accuracy for memory; group state here is
+                # sort-segmented, so exact costs the same)
                 arg = _gen("d")
                 pre_cols[arg] = b.bind(node.args[0])
                 out = _gen("cd")
@@ -904,7 +928,12 @@ class Planner:
                 arg = _gen("a")
                 pre_cols[arg] = b.bind(arg_ast)
             out = _gen("ag")
-            specs.append(AggSpec(node.name, arg, out))
+            param = None
+            if node.name in ("percentile_cont", "percentile_disc"):
+                p = fold_const(node.args[1])
+                assert isinstance(p, ast.Lit), "percentile fraction must be const"
+                param = float(p.value) / (10 ** p.scale if p.kind == "decimal" else 1)
+            specs.append(AggSpec(AGG_NAME_MAP[node.name], arg, out, param))
             self._agg_map[id(node)] = ("col", out)
 
         plan = stream.plan
@@ -913,13 +942,27 @@ class Planner:
         est = self._est_groups(stream, stmt.group_by)
 
         if distinct_aggs:
-            assert len(distinct_aggs) == 1 and not specs, \
-                "count(distinct) mixed with other aggregates unsupported"
+            assert len(distinct_aggs) == 1, \
+                "multiple distinct aggregates unsupported"
             node, arg, out = distinct_aggs[0]
             d1 = Aggregate(plan, tuple(key_names) + (arg,), (),
                            est_groups=max(est * 8, 64))
-            agg_plan = Aggregate(d1, tuple(key_names),
-                                 (AggSpec("count", arg, out),), est_groups=est)
+            dcount = Aggregate(d1, tuple(key_names),
+                               (AggSpec("count", arg, out),), est_groups=est)
+            if not specs:
+                agg_plan = dcount
+            elif not key_names:
+                # global: attach the 1-row distinct count to the 1-row agg
+                base = Aggregate(plan, (), tuple(specs))
+                agg_plan = BroadcastScalar(base, dcount, (out,))
+            else:
+                # split-and-rejoin on the group keys (the reference's
+                # multi-stage distinct split, SplitAggregateRule)
+                base = Aggregate(plan, tuple(key_names), tuple(specs),
+                                 est_groups=est)
+                agg_plan = HashJoin(base, dcount, tuple(key_names),
+                                    tuple(key_names), "inner", (out,),
+                                    capacity=_cap(est), unique=True)
         else:
             agg_plan = Aggregate(plan, tuple(key_names), tuple(specs), est_groups=est)
 
