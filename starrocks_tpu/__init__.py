@@ -19,11 +19,23 @@ see SURVEY.md), re-designed from scratch for TPU hardware:
   bRPC exchange, be/src/exec/pipeline/exchange/exchange_sink_operator.cpp:492).
 """
 
+import os
+
 import jax
 
 # Exact integer/decimal arithmetic needs int64; TPC-H aggregates need the
 # headroom. TPU emulates int64 with 2x int32 ops; hot paths drop to int32
 # where value ranges allow.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: query plans recompile only on shape/plan
+# changes across processes (the analog of the reference's prepared-fragment
+# reuse; TPU XLA compiles are seconds-scale, so this matters for latency).
+_cache_dir = os.environ.get(
+    "STARROCKS_TPU_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "starrocks_tpu_xla"))
+if _cache_dir != "0":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"

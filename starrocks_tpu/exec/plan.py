@@ -303,10 +303,14 @@ def _global_agg(t: Table, aggs: Sequence[AggSpec]) -> Table:
             continue
         if spec.fn in hash_agg.PCTL_FNS:
             from starrocks_tpu.ops import scan_utils as _su
+            from starrocks_tpu.ops import fast_sort as _fs
             q = float(spec.param if spec.param is not None else 0.5)
-            inval = (~mask).astype(jnp.int32)
-            sf, sv = jax.lax.sort((inval, c.data), num_keys=2)
-            ok_s = sf == 0
+            inval = jnp.where(mask, jnp.uint64(0), jnp.uint64(1))
+            vcol = Column(c.data, None, c.dtype, c.dict_id, c.vrange)
+            perm = _fs.stable_argsort(
+                [(inval, 1)] + _fs.normalize_keys(vcol), c.nrows)
+            sv = c.data[perm]
+            ok_s = mask[perm]
             rank = _su.prefix_sum(ok_s.astype(jnp.int64)) - 1
             if spec.fn == "percentile_disc":
                 tgt = jnp.maximum(jnp.ceil(q * nn.astype(jnp.float64)) - 1, 0
@@ -482,9 +486,10 @@ class Limit(PlanNode):
     n: int
 
     def run(self, ctx):
+        from starrocks_tpu.ops import scan_utils as su
         t = self.child.run(ctx)
         live = t.live_mask()
-        rank = jnp.cumsum(live.astype(jnp.int32)) - 1
+        rank = su.prefix_sum(live.astype(jnp.int32)) - 1
         return t.with_live(live & (rank < self.n))
 
 

@@ -207,86 +207,58 @@ def dense_groupby(table: Table, key_names, aggs, ranges) -> Table:
 # ---------------------------------------------------------------------------
 
 def sorted_groupby(table: Table, key_names, aggs) -> Table:
-    """Sort by keys + segmented scans; output N rows, live = segment ends."""
+    """Sort by keys + segmented scans; output N rows, live = segment ends.
+
+    The sort is ops/fast_sort.stable_argsort — keys bit-packed into (usually
+    one) single-operand tiled sort pass; key/payload columns are then
+    gathered by the permutation. A variadic 1-D lax.sort here would cost
+    minutes of XLA compile time per query on TPU (fast_sort docstring)."""
+    from starrocks_tpu.ops import fast_sort as fs
+
     n = table.nrows
     live = table.live_mask()
-    key_ops: list = [(~live).astype(jnp.int32)]   # dead rows sort last
+    # dead rows sort last — the live flag MUST lead: dead rows carry
+    # arbitrary key bytes (e.g. shuffle padding zeros) that can equal a live
+    # key, and the live->dead transition has to break the segment.
+    norm: list = [(jnp.where(live, jnp.uint64(0), jnp.uint64(1)), 1)]
     key_cols = [table[k] for k in key_names]
     for c in key_cols:
-        if c.valid is not None:
-            key_ops.append((~c.valid).astype(jnp.int32))  # NULL group together
-            key_ops.append(jnp.where(c.valid, c.data, jnp.zeros((), c.data.dtype)))
-        else:
-            key_ops.append(c.data)
-    n_seg_ops = len(key_ops)
-
+        norm.extend(fs.normalize_keys(c, nulls_first=True))
     # percentile inputs participate in the sort ORDER (value-sorted within
     # each group, NULLs last) but not in segment detection
-    ord_idx: dict[str, tuple[int, Optional[int]]] = {}
-    for spec in aggs:
-        if spec.fn not in PCTL_FNS or spec.col in ord_idx or spec.col in key_names:
-            continue
-        c = table[spec.col]
-        vi = None
-        if c.valid is not None:
-            vi = len(key_ops)
-            key_ops.append((~c.valid).astype(jnp.int32))
-        di = len(key_ops)
-        key_ops.append(c.data)
-        ord_idx[spec.col] = (di, vi)
-    num_keys = len(key_ops)
+    pctl_cols = {spec.col for spec in aggs
+                 if spec.fn in PCTL_FNS and spec.col not in key_names}
+    for name in sorted(pctl_cols):
+        norm.extend(fs.normalize_keys(table[name], nulls_first=False))
 
-    # payload operands: agg inputs (+ validity)
-    payload: list = []
-    payload_idx: dict[str, tuple[int, Optional[int]]] = {}
-    for spec in aggs:
-        if (spec.col is None or spec.col in payload_idx
-                or spec.col in key_names or spec.col in ord_idx):
-            continue
-        c = table[spec.col]
-        di = len(payload)
-        payload.append(c.data)
-        vi = None
-        if c.valid is not None:
-            vi = len(payload)
-            payload.append(c.valid.astype(jnp.int32))
-        payload_idx[spec.col] = (di, vi)
+    perm = fs.stable_argsort(norm, n)
+    live_s = live[perm]
 
-    sorted_ops = jax.lax.sort(tuple(key_ops + payload), num_keys=num_keys)
-    s_keys = sorted_ops[:num_keys]
-    s_payload = sorted_ops[num_keys:]
-    live_s = s_keys[0] == 0
+    # gather key columns (NULL rows' data zeroed so the NULL group is one
+    # segment under data+valid inequality)
+    cols: dict[str, Column] = {}
+    for name, c in zip(key_names, key_cols):
+        g = c.gather(perm)
+        if g.valid is not None:
+            g = Column(jnp.where(g.valid, g.data, jnp.zeros((), g.data.dtype)),
+                       g.valid, g.dtype, g.dict_id, g.vrange)
+        cols[name] = g
 
-    # segment starts: any group operand differs from the previous row. The
-    # live flag (s_keys[0]) MUST participate: dead rows carry arbitrary key
-    # bytes (e.g. shuffle padding zeros) that can equal the largest live key —
-    # the live->dead transition has to break the segment.
-    start = su.segment_starts_from_neq(*[(op, None) for op in s_keys[:n_seg_ops]])
+    start = su.segment_starts_from_neq(
+        (live_s, None), *[(cols[k].data, cols[k].valid) for k in key_names])
     is_end = jnp.roll(start, -1).at[-1].set(True)
     live_out = is_end & live_s
 
-    # rebuild sorted key columns
-    cols: dict[str, Column] = {}
-    ki = 1
-    for name, c in zip(key_names, key_cols):
-        if c.valid is not None:
-            invalid = s_keys[ki] == 1
-            data = s_keys[ki + 1]
-            cols[name] = Column(data, ~invalid, c.dtype, c.dict_id, c.vrange)
-            ki += 2
-        else:
-            cols[name] = Column(s_keys[ki], None, c.dtype, c.dict_id, c.vrange)
-            ki += 1
+    gathered: dict[str, Column] = {}
 
     def payload_of(spec):
         if spec.col in key_names:
             c = cols[spec.col]
-            return c.data, (None if c.valid is None else c.valid)
-        if spec.col in ord_idx:
-            di, vi = ord_idx[spec.col]
-            return s_keys[di], (None if vi is None else s_keys[vi] == 0)
-        di, vi = payload_idx[spec.col]
-        return s_payload[di], (None if vi is None else s_payload[vi] == 1)
+        else:
+            c = gathered.get(spec.col)
+            if c is None:
+                c = gathered[spec.col] = table[spec.col].gather(perm)
+        return c.data, c.valid
 
     seg_count_star = su.seg_sum(start, live_s.astype(jnp.int64))
     for spec in aggs:

@@ -84,8 +84,10 @@ def build(key_cols: Sequence[Column], live: jnp.ndarray, capacity: int) -> Build
     # same slot greater than r. Do it by scatter-min of row into "succ" keyed
     # by (slot, predecessor): iterate log-free via sort-based approach:
     # sort (slot, row) pairs; successor in sorted order with same slot.
+    from starrocks_tpu.ops import fast_sort as fs
     slot_sortkey = jnp.where(live, slots, capacity)  # dead rows sort last
-    order = jnp.argsort(slot_sortkey.astype(jnp.int64) * (n + 1) + rows)
+    order = fs.argsort_packed(slot_sortkey.astype(jnp.uint64),
+                              fs._bl(capacity))
     sorted_slots = slot_sortkey[order]
     sorted_rows = rows[order]
     sorted_live = live[order]

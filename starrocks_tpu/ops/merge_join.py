@@ -32,6 +32,12 @@ from starrocks_tpu.ops import scan_utils as su
 MERGE_THRESHOLD = 1 << 16
 
 
+def _merge_vrange(a: Column, b: Column):
+    if a.vrange is None or b.vrange is None:
+        return None
+    return (min(a.vrange[0], b.vrange[0]), max(a.vrange[1], b.vrange[1]))
+
+
 def merge_lookup(
     build_cols: Sequence[Column],
     build_live: jnp.ndarray,
@@ -57,27 +63,35 @@ def merge_lookup(
         if c.valid is not None:
             pl = pl & c.valid
 
+    from starrocks_tpu.ops import fast_sort as fs
+
     part_live = jnp.concatenate([bl, pl])
-    key_ops = [(~part_live).astype(jnp.int32)]
+    # sort (dead, keys..., tag) via bit-packed passes (fast_sort docstring:
+    # a variadic 1-D lax.sort costs minutes of TPU compile time)
+    norm: list = [(jnp.where(part_live, jnp.uint64(0), jnp.uint64(1)), 1)]
+    key_datas = []
     for bc, pc in zip(build_cols, probe_cols):
         data = jnp.concatenate([bc.data, pc.data.astype(bc.data.dtype)])
-        key_ops.append(data)
+        key_datas.append(data)
+        merged = Column(data, None, bc.dtype, bc.dict_id,
+                        _merge_vrange(bc, pc))
+        norm.extend(fs.normalize_keys(merged))
     tag = jnp.concatenate([
         jnp.zeros((nb,), jnp.int32), jnp.ones((np_,), jnp.int32)])
     rowid = jnp.concatenate([
         jnp.arange(nb, dtype=jnp.int32), jnp.arange(np_, dtype=jnp.int32)])
-    key_ops.append(tag)
+    norm.append((tag.astype(jnp.uint64), 1))
 
-    sorted_ops = jax.lax.sort(tuple(key_ops + [rowid]), num_keys=len(key_ops))
-    s_live = sorted_ops[0] == 0
-    s_keys = sorted_ops[1:-2]
-    s_tag = sorted_ops[-2]
-    s_rid = sorted_ops[-1]
+    perm = fs.stable_argsort(norm, n)
+    s_dead = ~part_live[perm]
+    s_live = ~s_dead
+    s_tag = tag[perm]
+    s_rid = rowid[perm]
 
     # key-run starts (tag excluded: build+probe with equal keys share a run;
     # the live flag participates — dead-row bytes are arbitrary)
     start = su.segment_starts_from_neq(
-        (sorted_ops[0], None), *[(op, None) for op in s_keys])
+        (s_dead, None), *[(d[perm], None) for d in key_datas])
 
     bval = jnp.where((s_tag == 0) & s_live, s_rid, jnp.int32(-1))
     prop = su.seg_scan(

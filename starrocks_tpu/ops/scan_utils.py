@@ -92,6 +92,13 @@ def seg_sum(flag, value):
     return ps - base
 
 
+def running_reduce(op, x, identity):
+    """Blocked inclusive scan of `op` over the whole array (VMEM-safe
+    replacement for lax.associative_scan / jnp.cumsum at engine sizes)."""
+    flag = jnp.zeros((x.shape[0],), jnp.bool_).at[0].set(True)
+    return seg_scan(op, flag, x, identity)
+
+
 def seg_broadcast_from_end(is_end, value, fill):
     """Every row receives its segment's value at the segment END row
     (reverse of seg_propagate_last; used to broadcast segment totals —

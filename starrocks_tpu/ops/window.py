@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from starrocks_tpu.column import dtypes as dt
 from starrocks_tpu.column.column import Column, Table
+from starrocks_tpu.ops import scan_utils as su
 from starrocks_tpu.ops.sort import SortKey, sort_permutation
 
 
@@ -76,7 +77,7 @@ def window(
         jnp.zeros((n,), jnp.bool_).at[0].set(True)
 
     # segment id and index of each row's segment start
-    seg_id = jnp.cumsum(start.astype(jnp.int32)) - 1
+    seg_id = su.prefix_sum(start.astype(jnp.int32)) - 1
     idx = jnp.arange(n, dtype=jnp.int32)
     seg_first = jnp.where(start, idx, 0)
     seg_first = jax_max_scan(seg_first)
@@ -94,7 +95,7 @@ def window(
                 rank_pos = jax_max_scan(rank_pos)
                 vals = (rank_pos - seg_first + 1).astype(jnp.int64)
             else:
-                dr = jnp.cumsum(change.astype(jnp.int64))
+                dr = su.prefix_sum(change.astype(jnp.int64))
                 first_dr = jnp.where(start, dr, 0)
                 first_dr = jax_max_scan(first_dr)
                 vals = dr - first_dr + 1
@@ -143,30 +144,26 @@ def window(
 
 
 def jax_max_scan(x):
-    """Inclusive running maximum."""
-    import jax
-    return jax.lax.associative_scan(jnp.maximum, x)
+    """Inclusive running maximum (blocked — VMEM-safe at any length)."""
+    return su.running_reduce(jnp.maximum, x, jnp.zeros((), x.dtype))
 
 
 def _running_sum(data, seg_first):
     """Running sum within segments: cumsum minus prefix before segment."""
-    s = jnp.cumsum(data)
+    s = su.prefix_sum(data)
     before = jnp.where(seg_first > 0, s[jnp.maximum(seg_first - 1, 0)], 0)
     return s - before
 
 
 def _running_minmax(data, seg_first, fn):
-    import jax
     op = jnp.minimum if fn == "min" else jnp.maximum
-    idx = jnp.arange(data.shape[0])
-    # associative scan over (segment-reset) pairs: carry (seg_first, value)
-    def combine(a, b):
-        af, av = a
-        bf, bv = b
-        v = jnp.where(bf > af, bv, op(av, bv))
-        return jnp.maximum(af, bf), v
-    _, vals = jax.lax.associative_scan(combine, (seg_first, data))
-    return vals
+    idx = jnp.arange(data.shape[0], dtype=seg_first.dtype)
+    start = seg_first == idx
+    identity = jnp.asarray(
+        (jnp.iinfo(data.dtype).max if fn == "min" else jnp.iinfo(data.dtype).min)
+        if not jnp.issubdtype(data.dtype, jnp.floating)
+        else (jnp.inf if fn == "min" else -jnp.inf), data.dtype)
+    return su.seg_scan(op, start, data, identity)
 
 
 def _segment_end(seg_first, n):
@@ -177,7 +174,8 @@ def _segment_end(seg_first, n):
     is_start = seg_first == idx
     a = jnp.where(is_start, idx, n)
     a_shift = jnp.concatenate([a[1:], jnp.array([n], a.dtype)])
-    nxt = jax.lax.associative_scan(jnp.minimum, a_shift, reverse=True)
+    nxt = jnp.flip(su.running_reduce(
+        jnp.minimum, jnp.flip(a_shift), jnp.asarray(n, a.dtype)))
     return jnp.minimum(nxt - 1, n - 1)
 
 

@@ -308,7 +308,8 @@ class DistExecutor:
             dt = DistTable(shuf.gather_rows(dt.table, AXIS), None, True)
         t = dt.table
         live = t.live_mask()
-        rank = jnp.cumsum(live.astype(jnp.int32)) - 1
+        from starrocks_tpu.ops import scan_utils as su
+        rank = su.prefix_sum(live.astype(jnp.int32)) - 1
         return DistTable(t.with_live(live & (rank < node.n)), None, True)
 
 

@@ -46,7 +46,8 @@ def shuffle_by_key(
     dest = jnp.where(live, dest, ndev)  # dead rows to an out-of-band bucket
 
     # counting-sort row ids by destination (stable): position within bucket
-    order = jnp.argsort(dest, stable=True)
+    from starrocks_tpu.ops import fast_sort as fs
+    order = fs.argsort_packed(dest.astype(jnp.uint64), fs._bl(ndev))
     sorted_dest = dest[order]
     # rank within each destination bucket
     pos_in_sorted = jnp.arange(n, dtype=jnp.int32)
