@@ -325,6 +325,10 @@ class Parser:
         if word in ("substring", "coalesce", "year", "count", "sum", "avg",
                     "min", "max", "cast"):
             return self.parse_call(word)
+        # any other keyword followed by "(" is a function call (keywords like
+        # month/day/left/right/if double as function names)
+        if self.peek().kind == "SYMBOL" and self.peek().value == "(":
+            return self.parse_call(word)
         if word == "null":
             return ast.Lit(None, "null")
         if word in ("true", "false"):

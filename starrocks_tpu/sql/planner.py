@@ -384,6 +384,9 @@ class Binder:
             return E.Coalesce([self.bind(a) for a in node.args])
         if node.name in AGG_FN_NAMES:
             raise ValueError(f"aggregate {node.name} outside aggregation context")
+        from starrocks_tpu.exprs import functions as F
+        if node.name in F.SQL_FUNCTIONS:
+            return F.build(node.name, [self.bind(a) for a in node.args])
         raise NotImplementedError(f"function {node.name}")
 
 
