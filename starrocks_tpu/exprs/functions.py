@@ -477,6 +477,76 @@ SQL_FUNCTIONS = (
 
 
 @dataclasses.dataclass(eq=False)
+class Cast(Expr):
+    """CAST(x AS type) — analog of be/src/exprs/cast_expr.cpp. String
+    sources parse through the dictionary LUT; numeric -> string would need
+    device values on the host and is unsupported (dict-encode at load)."""
+    child: Expr
+    target: str        # int | double | decimal | string | date | bool
+    scale: int = 0
+
+    def eval(self, table) -> Column:
+        from starrocks_tpu.exprs.expr import _dict_lut
+        c = self.child.eval(table)
+        t = self.target
+        if t == "double":
+            if c.dtype.is_string:
+                lut = _dict_lut(c.dict_id, lambda vs: np.array(
+                    [_safe_float(v) for v in vs], np.float64))
+                return Column(lut[c.data], c.valid, dt.FLOAT64)
+            return Column(_to_float(c), c.valid, dt.FLOAT64)
+        if t == "int":
+            if c.dtype.is_string:
+                lut = _dict_lut(c.dict_id, lambda vs: np.array(
+                    [int(_safe_float(v)) for v in vs], np.int64))
+                return Column(lut[c.data], c.valid, dt.INT64)
+            if c.dtype.is_decimal:
+                data = _trunc_div(c.data, jnp.int64(10 ** c.dtype.scale))
+                return Column(data, c.valid, dt.INT64)
+            return Column(c.data.astype(jnp.int64), c.valid, dt.INT64)
+        if t == "decimal":
+            s = self.scale
+            if c.dtype.is_string:
+                lut = _dict_lut(c.dict_id, lambda vs: np.array(
+                    [int(round(_safe_float(v) * 10 ** s)) for v in vs], np.int64))
+                return Column(lut[c.data], c.valid, dt.DECIMAL(s))
+            if c.dtype.is_decimal:
+                if s >= c.dtype.scale:
+                    return Column(c.data * (10 ** (s - c.dtype.scale)),
+                                  c.valid, dt.DECIMAL(s))
+                return _round(c, s)
+            if c.dtype.kind is TypeKind.FLOAT64:
+                f = c.data * (10.0 ** s)
+                data = (jnp.sign(f) * jnp.floor(jnp.abs(f) + 0.5)).astype(jnp.int64)
+                return Column(data, c.valid, dt.DECIMAL(s))
+            return Column(c.data.astype(jnp.int64) * (10 ** s), c.valid,
+                          dt.DECIMAL(s))
+        if t == "string":
+            if c.dtype.is_string:
+                return c
+            raise NotImplementedError("cast non-string to string")
+        if t == "date":
+            if c.dtype.kind is TypeKind.DATE:
+                return c
+            if c.dtype.is_string:
+                lut = _dict_lut(c.dict_id, lambda vs: np.array(
+                    [np.datetime64(v, "D").astype(np.int32) for v in vs],
+                    np.int32))
+                return Column(lut[c.data], c.valid, dt.DATE)
+            return Column(c.data.astype(jnp.int32), c.valid, dt.DATE)
+        if t == "bool":
+            return Column(_to_float(c) != 0.0, c.valid, dt.BOOL)
+        raise ValueError(t)
+
+
+def _safe_float(v: str) -> float:
+    try:
+        return float(v)
+    except ValueError:
+        return float("nan")
+
+
+@dataclasses.dataclass(eq=False)
 class _NumericCall(Expr):
     name: str
     children: list

@@ -55,6 +55,21 @@ class Func(Node):
 
 
 @dataclasses.dataclass
+class CastExpr(Node):
+    child: Node
+    target: str        # int | double | decimal | string | date | bool
+    scale: int = 0     # decimal target scale
+
+
+@dataclasses.dataclass
+class WithStmt(Node):
+    """WITH name AS (query), ... body — CTEs are planned by inlining at each
+    reference (the reference's default CTE strategy for non-reused CTEs)."""
+    ctes: list         # [(name, SelectStmt|SetOpStmt)]
+    body: Node
+
+
+@dataclasses.dataclass
 class CaseExpr(Node):
     branches: list     # [(cond, value)]
     default: Optional[Node]

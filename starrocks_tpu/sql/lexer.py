@@ -26,6 +26,7 @@ KEYWORDS = {
     "interval", "year", "month", "day", "extract", "substring", "count",
     "sum", "avg", "min", "max", "all", "any", "union", "cast", "coalesce",
     "true", "false", "view", "create", "drop", "table", "intersect", "except",
+    "with",
 }
 
 SYMBOLS = ["<>", "<=", ">=", "!=", "||", "(", ")", ",", ".", ";", "+", "-",

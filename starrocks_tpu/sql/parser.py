@@ -48,7 +48,20 @@ class Parser:
 
     # -- entry ----------------------------------------------------------------
     def parse(self):
-        stmt = self.parse_compound()
+        if self.kw("with"):
+            ctes = []
+            while True:
+                name = self.expect("IDENT").value
+                self.expect("KEYWORD", "as")
+                self.expect("SYMBOL", "(")
+                q = self.parse_compound()
+                self.expect("SYMBOL", ")")
+                ctes.append((name, q))
+                if not self.accept("SYMBOL", ","):
+                    break
+            stmt = ast.WithStmt(ctes, self.parse_compound())
+        else:
+            stmt = self.parse_compound()
         self.accept("SYMBOL", ";")
         self.expect("EOF")
         return stmt
@@ -325,10 +338,6 @@ class Parser:
         if word in ("substring", "coalesce", "year", "count", "sum", "avg",
                     "min", "max", "cast"):
             return self.parse_call(word)
-        # any other keyword followed by "(" is a function call (keywords like
-        # month/day/left/right/if double as function names)
-        if self.peek().kind == "SYMBOL" and self.peek().value == "(":
-            return self.parse_call(word)
         if word == "null":
             return ast.Lit(None, "null")
         if word in ("true", "false"):
@@ -340,6 +349,10 @@ class Parser:
             q = self.parse_select()
             self.expect("SYMBOL", ")")
             return ast.ExistsExpr(q)
+        # any other keyword followed by "(" is a function call (keywords like
+        # month/day/left/right/if double as function names)
+        if self.peek().kind == "SYMBOL" and self.peek().value == "(":
+            return self.parse_call(word)
         raise SyntaxError(f"unexpected keyword {word!r} @ {t.pos}")
 
     def parse_call(self, name: str):
@@ -347,6 +360,28 @@ class Parser:
         if name == "count" and self.accept("SYMBOL", "*"):
             self.expect("SYMBOL", ")")
             return ast.Func("count", [], star=True)
+        if name == "cast":
+            e = self.parse_expr()
+            self.expect("KEYWORD", "as")
+            tname = self.next().value.lower()
+            scale = 0
+            if self.accept("SYMBOL", "("):
+                self.expect("NUMBER")          # precision (ignored)
+                if self.accept("SYMBOL", ","):
+                    scale = int(self.expect("NUMBER").value)
+                self.expect("SYMBOL", ")")
+            self.expect("SYMBOL", ")")
+            target = {
+                "int": "int", "integer": "int", "bigint": "int",
+                "smallint": "int", "tinyint": "int", "largeint": "int",
+                "double": "double", "float": "double",
+                "decimal": "decimal", "numeric": "decimal",
+                "varchar": "string", "char": "string", "string": "string",
+                "date": "date", "boolean": "bool", "bool": "bool",
+            }.get(tname)
+            if target is None:
+                raise SyntaxError(f"cast target {tname!r} unsupported")
+            return ast.CastExpr(e, target, scale)
         distinct = bool(self.kw("distinct"))
         args = []
         if not (self.peek().kind == "SYMBOL" and self.peek().value == ")"):

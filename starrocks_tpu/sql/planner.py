@@ -326,6 +326,9 @@ class Binder:
             return E.col(plan_name)
         if isinstance(node, ast.Lit):
             return self.bind_lit(node)
+        if isinstance(node, ast.CastExpr):
+            from starrocks_tpu.exprs.functions import Cast
+            return Cast(self.bind(node.child), node.target, node.scale)
         if isinstance(node, ast.BinOp):
             if node.op == "and":
                 return E.And(self.bind(node.left), self.bind(node.right))
@@ -407,6 +410,16 @@ class Planner:
             for m in rel.maps.values():
                 merged.update(m)
             return dataclasses.replace(rel, maps={alias: merged})
+        ctes = getattr(self, "_ctes", {})
+        if ref.name in ctes:
+            # inline the CTE at each reference (StatementPlanner's default
+            # non-reused CTE strategy)
+            rel = self.plan_stmt(ctes[ref.name], outer_scope)
+            alias = getattr(ref, "alias", None) or ref.name
+            merged = {}
+            for m in rel.maps.values():
+                merged.update(m)
+            return dataclasses.replace(rel, maps={alias: merged})
         meta = self.catalog.get(ref.name)
         alias = ref.alias or ref.name
         qualify = ref.alias is not None and ref.alias != ref.name
@@ -423,6 +436,15 @@ class Planner:
 
     # -- main --------------------------------------------------------------------
     def plan_stmt(self, stmt, outer_scope: Optional[Scope] = None) -> Relation:
+        if isinstance(stmt, ast.WithStmt):
+            prev = getattr(self, "_ctes", {})
+            self._ctes = dict(prev)
+            for name, q in stmt.ctes:
+                self._ctes[name] = q     # later CTEs may reference earlier
+            try:
+                return self.plan_stmt(stmt.body, outer_scope)
+            finally:
+                self._ctes = prev
         if isinstance(stmt, ast.SetOpStmt):
             return self.plan_setop(stmt, outer_scope)
         return self.plan_select(stmt, outer_scope)
@@ -840,6 +862,20 @@ class Planner:
             name = it.alias or (it.expr.name if isinstance(it.expr, ast.Col) else _gen("col"))
             outputs[name] = self._bind_with_agg_refs(it.expr, b)
             out_names.append(name)
+        # ORDER BY expressions not in the select list ride as hidden columns
+        # through the projection and are dropped after the sort
+        order_keys: list[tuple[str, bool]] = []
+        hidden: list[str] = []
+        for e, asc in stmt.order_by:
+            try:
+                name = self._resolve_order_key(e, stmt, out_names)
+            except NotImplementedError:
+                if stmt.distinct:
+                    raise  # SELECT DISTINCT forbids ordering by hidden exprs
+                name = _gen("ord")
+                outputs[name] = self._bind_with_agg_refs(e, b)
+                hidden.append(name)
+            order_keys.append((name, asc))
         plan = Project(stream.plan, outputs)
         uks = []
         if stmt.group_by:
@@ -860,9 +896,12 @@ class Planner:
                 unique_keys=[tuple(out_names)])
 
         if stmt.order_by:
-            keys = tuple(SortKey(self._resolve_order_key(e, stmt, out_names), asc=asc)
-                         for e, asc in stmt.order_by)
-            rel = dataclasses.replace(rel, plan=Sort(rel.plan, keys, limit=stmt.limit))
+            keys = tuple(SortKey(name, asc=asc) for name, asc in order_keys)
+            sorted_plan = Sort(rel.plan, keys, limit=stmt.limit)
+            if hidden:
+                sorted_plan = Project(
+                    sorted_plan, {n: E.col(n) for n in out_names})
+            rel = dataclasses.replace(rel, plan=sorted_plan)
         elif stmt.limit is not None:
             rel = dataclasses.replace(rel, plan=Limit(rel.plan, stmt.limit))
         return rel
