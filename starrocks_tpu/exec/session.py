@@ -28,10 +28,12 @@ class Session:
             self._dist_tables = D.place_tables(
                 tables, mesh, partitioning or D.TPCH_PARTITIONING)
         self._plan_cache: dict[str, object] = {}
+        self.views: dict[str, str] = {}
 
     def plan(self, text: str):
         if text not in self._plan_cache:
-            self._plan_cache[text] = plan_sql(text, self.catalog)
+            self._plan_cache[text] = plan_sql(text, self.catalog,
+                                              views=self.views)
         return self._plan_cache[text]
 
     def execute(self, text: str) -> Table:
@@ -42,11 +44,73 @@ class Session:
         from starrocks_tpu.exec.plan import execute
         return execute(plan, self.tables)
 
+    # -- catalog mutation (DDL analog: LocalMetastore + bulk-load sinks) ----
+    def register(self, name: str, table: Table) -> None:
+        """Register (or replace) a table; re-derives catalog stats (the
+        ANALYZE-at-load behavior of Catalog.from_tables)."""
+        self.tables[name] = table
+        self.catalog = Catalog.from_tables(self.tables)
+        self._plan_cache.clear()
+        if self.mesh is not None:
+            from starrocks_tpu.parallel import dist as D
+            self._dist_tables = D.place_tables(
+                self.tables, self.mesh, D.TPCH_PARTITIONING)
+
+    def drop(self, name: str) -> None:
+        self.tables.pop(name, None)
+        self.views.pop(name, None)
+        self.catalog = Catalog.from_tables(self.tables)
+        self._plan_cache.clear()
+
+    def load_parquet(self, name: str, path: str) -> Table:
+        from starrocks_tpu.io.parquet_io import read_parquet
+        t = read_parquet(path)
+        self.register(name, t)
+        return t
+
+    def export_parquet(self, select_text: str, path: str) -> None:
+        from starrocks_tpu.io.parquet_io import write_parquet
+        write_parquet(self.execute(select_text), path)
+
+    _DDL = None  # compiled lazily
+
+    def _try_ddl(self, text: str):
+        """Handle CREATE TABLE/VIEW ... AS, INSERT INTO ... SELECT, DROP.
+        Returns a result DataFrame or None if `text` is a plain query."""
+        import re
+        import pandas as pd
+        s = text.strip().rstrip(";")
+        m = re.match(r"(?is)^create\s+table\s+(\w+)\s+as\s+(.*)$", s)
+        if m:
+            name, sel = m.group(1), m.group(2)
+            self.register(name, self.execute(sel))
+            return pd.DataFrame()
+        m = re.match(r"(?is)^create\s+view\s+(\w+)\s+as\s+(.*)$", s)
+        if m:
+            self.views[m.group(1)] = m.group(2)
+            self._plan_cache.clear()
+            return pd.DataFrame()
+        m = re.match(r"(?is)^insert\s+into\s+(\w+)\s+(select.*)$", s)
+        if m:
+            name, sel = m.group(1), m.group(2)
+            cols = ", ".join(self.tables[name].column_names())
+            merged = self.execute(f"select {cols} from {name} union all {sel}")
+            self.register(name, merged)
+            return pd.DataFrame()
+        m = re.match(r"(?is)^drop\s+(?:table|view)\s+(?:if\s+exists\s+)?(\w+)$", s)
+        if m:
+            self.drop(m.group(1))
+            return pd.DataFrame()
+        return None
+
     def sql(self, text: str):
         """Run a query, return a pandas DataFrame of the result rows."""
         import time
         from starrocks_tpu.utils.metrics import AUDIT, REGISTRY, AuditRecord
 
+        ddl = self._try_ddl(text)
+        if ddl is not None:
+            return ddl
         t0 = time.perf_counter()
         try:
             df = self.execute(text).to_pandas()

@@ -1071,7 +1071,10 @@ class Planner:
         return binder.bind(node)
 
 
-def plan_sql(text: str, catalog: Catalog) -> PlanNode:
+def plan_sql(text: str, catalog: Catalog, views: Optional[dict] = None) -> PlanNode:
     from starrocks_tpu.sql.parser import parse
     stmt = parse(text)
-    return Planner(catalog).plan_stmt(stmt).plan
+    p = Planner(catalog)
+    if views:
+        p._ctes = {name: parse(sql) for name, sql in views.items()}
+    return p.plan_stmt(stmt).plan

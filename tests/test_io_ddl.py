@@ -1,0 +1,69 @@
+"""Parquet ingest/export and session DDL (CTAS / INSERT / views / DROP)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from starrocks_tpu.column import dtypes as dt
+from starrocks_tpu.column.column import Column, Table
+from starrocks_tpu.exec.session import Session
+
+
+def test_parquet_roundtrip(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from starrocks_tpu.io.parquet_io import read_parquet, write_parquet
+
+    df = pd.DataFrame({
+        "i": pd.array([1, 2, None, 4], dtype="Int64"),
+        "f": [1.5, None, 2.5, -3.0],
+        "s": ["a", "bb", None, "dd"],
+        "d": pd.to_datetime(["1995-01-01", "2000-06-15", None, "1992-12-31"]),
+    })
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+
+    t = read_parquet(path)
+    back = t.to_pandas()
+    assert back.i.tolist()[0:2] == [1, 2] and back.i[2] is None
+    assert back.f[1] is None and back.f[3] == -3.0
+    def _n(v):
+        return None if v is None or (isinstance(v, float) and np.isnan(v)) else v
+    assert [_n(v) for v in back.s.tolist()] == ["a", "bb", None, "dd"]
+    assert _n(back.d[2]) is None
+    assert np.asarray(back.d[0]).astype("datetime64[D]") == np.datetime64("1995-01-01")
+
+    # query it through a session
+    s = Session({"t": t})
+    r = s.sql("select s, f from t where i is not null order by i desc")
+    assert r.s.tolist() == ["dd", "bb", "a"]
+
+    # export
+    out = str(tmp_path / "out.parquet")
+    write_parquet(s.execute("select i, s from t where f > 0"), out)
+    rt = pq.read_table(out).to_pandas()
+    assert len(rt) == 2
+
+
+def test_session_ddl():
+    t = Table(columns={
+        "k": Column.from_numpy(np.array([1, 2, 3, 4], np.int64), dt.INT64),
+        "v": Column.from_numpy(np.array([10, 20, 30, 40], np.int64), dt.INT64),
+    })
+    s = Session({"t": t})
+    s.sql("create table big as select k, v from t where v >= 20")
+    r = s.sql("select count(*) c from big")
+    assert r.c[0] == 3
+
+    s.sql("insert into big select k, v from t where v = 10")
+    assert s.sql("select count(*) c from big").c[0] == 4
+    assert sorted(s.sql("select v from big").v.tolist()) == [10, 20, 30, 40]
+
+    s.sql("create view doubled as select k, v * 2 as v2 from big")
+    r = s.sql("select sum(v2) sv from doubled")
+    assert r.sv[0] == 200
+
+    s.sql("drop view doubled")
+    s.sql("drop table big")
+    with pytest.raises(KeyError):
+        s.sql("select * from big")
