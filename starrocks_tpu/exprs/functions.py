@@ -339,6 +339,11 @@ class DateFieldFn(Expr):
         elif self.field == "dayofyear":
             jan1 = days_from_civil(y, jnp.ones_like(m), jnp.ones_like(d))
             out = days - jan1 + 1
+        elif self.field == "weekofyear":       # ISO 8601 week number
+            thu = days - (days + 3) % 7 + 3    # Thursday of this ISO week
+            ty, _, _ = civil_from_days(thu)
+            jan1 = days_from_civil(ty, jnp.ones_like(m), jnp.ones_like(d))
+            out = (thu - jan1) // 7 + 1
         else:
             raise ValueError(self.field)
         return Column(out.astype(jnp.int32), c.valid, dt.INT32)
@@ -439,8 +444,9 @@ def build(name: str, args: list[Expr], raw_args: Optional[list] = None) -> Expr:
         pat = _lit_value(sub)
         return StringScalarFn(s, lambda v: v.find(pat) + 1, dt.INT32)
     if name in ("year", "month", "day", "dayofmonth", "quarter",
-                "dayofweek", "weekday", "dayofyear"):
-        return DateFieldFn(args[0], "day" if name == "dayofmonth" else name)
+                "dayofweek", "weekday", "dayofyear", "weekofyear", "week"):
+        field = {"dayofmonth": "day", "week": "weekofyear"}.get(name, name)
+        return DateFieldFn(args[0], field)
     if name in ("date_add", "adddate", "days_add"):
         return DateAddDays(args[0], args[1])
     if name in ("date_sub", "subdate", "days_sub"):
@@ -469,7 +475,7 @@ SQL_FUNCTIONS = (
     set(_NUMERIC) | set(_STRING_MAP) | set(_STRING_SCALAR) | {
         "concat", "starts_with", "ends_with", "instr", "locate",
         "year", "month", "day", "dayofmonth", "quarter", "dayofweek",
-        "weekday", "dayofyear", "date_add", "adddate", "days_add",
+        "weekday", "dayofyear", "weekofyear", "week", "date_add", "adddate", "days_add",
         "date_sub", "subdate", "days_sub", "datediff", "months_add",
         "add_months", "months_sub", "date_trunc", "round", "truncate",
         "if", "nullif", "ifnull", "nvl",

@@ -851,6 +851,7 @@ class Planner:
             collect_aggs(e, agg_nodes)
 
         self._agg_map = {}
+        self._gb_exprs = []
         if agg_nodes or stmt.group_by:
             stream = self._plan_aggregate(stmt, stream, agg_nodes, scope)
             scope = Scope([stream], parent=outer_scope)
@@ -926,6 +927,14 @@ class Planner:
         key_sql_map: dict[str, str] = {}
         for g in stmt.group_by:
             g = fold_const(g)
+            if (isinstance(g, ast.Col) and g.qualifier is None
+                    and stream.lookup(g) is None):
+                # GROUP BY <select alias> (MySQL/StarRocks extension):
+                # substitute the aliased select expression
+                for it in stmt.items:
+                    if it.alias == g.name:
+                        g = it.expr
+                        break
             if isinstance(g, ast.Col):
                 pn = self._plan_col(stream, g)
                 key_names.append(pn)
@@ -934,6 +943,7 @@ class Planner:
                 name = _gen("k")
                 pre_cols[name] = b.bind(g)
                 key_names.append(name)
+                self._gb_exprs.append((g, name))
 
         specs: list[AggSpec] = []
         distinct_aggs = []
@@ -1066,7 +1076,10 @@ class Planner:
                          self._bind_with_agg_refs(v, binder))
                         for c, v in node.branches]
             return E.Case(branches, self._bind_with_agg_refs(node.default, binder))
-        if isinstance(node, ast.Func) and node.name in ("sum", "avg", "count", "min", "max"):
+        for g_ast, key_name in getattr(self, "_gb_exprs", []):
+            if _ast_equal(node, g_ast):
+                return E.col(key_name)
+        if isinstance(node, ast.Func) and node.name in AGG_FN_NAMES:
             raise ValueError("aggregate not planned (agg_map miss)")
         return binder.bind(node)
 
