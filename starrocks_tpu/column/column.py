@@ -201,12 +201,44 @@ class Table:
         )
 
     def to_pandas(self, limit: Optional[int] = None):
-        """Compact live rows to host and decode (result extraction)."""
+        """Compact live rows to host and decode (result extraction).
+
+        Compaction happens ON DEVICE (stable partition of live rows to the
+        front via the packed sort), so only the live rows cross the
+        device->host link — the analog of the result sink sending only real
+        rows (be/src/runtime/buffer_control_block.h). Shipping the full
+        padded table through the axon relay cost hundreds of ms per query.
+        """
         import pandas as pd
 
-        mask = None if self.live is None else np.asarray(self.live)
+        if self.live is None:
+            out = {}
+            for n, c in self.columns.items():
+                arr = c.to_numpy(None)
+                out[n] = arr if limit is None else arr[:limit]
+            return pd.DataFrame(out)
+
+        compacted, count = _compact_live(self)
+        k = int(count)
+        if limit is not None:
+            k = min(k, limit)
         out = {}
-        for n, c in self.columns.items():
-            arr = c.to_numpy(mask)
-            out[n] = arr if limit is None else arr[:limit]
+        for n, c in compacted.columns.items():
+            head = Column(c.data[:k],
+                          None if c.valid is None else c.valid[:k],
+                          c.dtype, c.dict_id, c.vrange)
+            out[n] = head.to_numpy(None)
         return pd.DataFrame(out)
+
+
+@jax.jit
+def _compact_live(table: Table):
+    """Stable-partition live rows to the front; returns (Table, live count)."""
+    from starrocks_tpu.ops import fast_sort as fs
+
+    live = table.live_mask()
+    perm = fs.argsort_packed(
+        jnp.where(live, jnp.uint64(0), jnp.uint64(1)), 1)
+    cols = {n: c.gather(perm) for n, c in table.columns.items()}
+    return (Table(columns=cols, live=None),
+            jnp.sum(live.astype(jnp.int32)))
