@@ -50,58 +50,27 @@ def _bl(x: int) -> int:
 def sort_packed(x: jnp.ndarray) -> jnp.ndarray:
     """Ascending sort of a (n,) uint64 array; all values must be < 2^63.
 
-    Returns the sorted array (same shape). Values should be unique (embed a
-    row id in the low bits) — ties are broken arbitrarily otherwise.
+    One single-operand 1-D lax.sort, padded to the next power of two with
+    unique +inf-class sentinels. The pow2 padding collapses every engine
+    sort onto ~24 possible shapes, so the expensive per-shape TPU sort
+    compile (~16-40 s) happens once per shape per machine and then comes
+    from the persistent compilation cache. (Alternatives measured on v5e:
+    variadic 1-D sorts compile 86-157 s PER INSTANCE; gather/scatter
+    merge-path rounds run ~200x slower than the native sort; unrolled
+    reshape/minmax bitonic stages compile ~100 s. The native single-operand
+    sort is the only variant that is fast to run AND amortizable to
+    compile.) Values should be unique (embed a row id in the low bits) —
+    ties break arbitrarily otherwise.
     """
     n = x.shape[0]
     x = x.astype(_U)
-    nb = max((n + TILE - 1) // TILE, 1)
-    B = 1 << max(nb - 1, 0).bit_length() if nb > 1 else 1
-    N = B * TILE
+    N = 1 << max(n - 1, 1).bit_length()
     if N > n:
         # unique sentinels above every real value (top bit set)
         pads = jnp.uint64(1 << 63) | jnp.arange(N - n, dtype=_U)
         x = jnp.concatenate([x, pads])
-    (tiles,) = jax.lax.sort((x.reshape(B, TILE),), dimension=1, num_keys=1)
-    flat = tiles.reshape(-1)
-    if B == 1:
-        return flat[:n]
-
-    rounds = B.bit_length() - 1
-    logc = TILE.bit_length() - 1
-    steps = N.bit_length()  # binary search depth covers the longest run
-    idx = jnp.arange(N, dtype=jnp.int32)
-
-    def round_body(r, flat):
-        log_l = jnp.int32(logc) + r.astype(jnp.int32)  # run length L = 2^log_l
-        run = jax.lax.shift_right_logical(idx, log_l)
-        pos_in_run = idx - jax.lax.shift_left(run, log_l)
-        is_right = (run & 1) == 1
-        partner_start = jnp.where(
-            is_right, jax.lax.shift_left(run - 1, log_l),
-        jax.lax.shift_left(run + 1, log_l))
-        me = flat
-        # rank of me within the partner run: strict-less count (keys unique)
-        lo = jnp.zeros((N,), jnp.int32)
-        hi = jnp.full((N,), 1, jnp.int32) << log_l
-
-        def search(_, state):
-            lo, hi = state
-            open_ = lo < hi
-            mid = (lo + hi) >> 1
-            v = flat[partner_start + mid]
-            less = open_ & (v < me)
-            return (jnp.where(less, mid + 1, lo),
-                    jnp.where(open_ & ~less, mid, hi))
-
-        lo, hi = jax.lax.fori_loop(0, steps, search, (lo, hi))
-        pair_start = jax.lax.shift_left(
-            jax.lax.shift_right_logical(run, jnp.int32(1)), log_l + 1)
-        dest = pair_start + pos_in_run + lo
-        return jnp.zeros((N,), _U).at[dest].set(me)
-
-    flat = jax.lax.fori_loop(0, rounds, round_body, flat)
-    return flat[:n]
+    (s,) = jax.lax.sort((x,), num_keys=1)
+    return s[:n]
 
 
 def _rowid_bits(n: int) -> int:

@@ -63,7 +63,7 @@ class Catalog:
         tables: dict[str, Table],
         unique_keys: Optional[dict[str, list[tuple[str, ...]]]] = None,
         collect_stats: bool = True,
-        sample: int = 200_000,
+        sample: int = 65_536,
     ) -> "Catalog":
         """ANALYZE-equivalent: collect sizes + sampled NDV at registration
         (the analog of statistic/StatisticExecutor.java collect jobs)."""
@@ -75,19 +75,35 @@ class Catalog:
                 n = t.nrows
                 idx = None
                 if n > sample:
-                    idx = np.random.default_rng(0).integers(0, n, sample)
+                    # sample ON DEVICE: only `sample` rows cross device->host
+                    # (a full-column readback through the axon relay costs
+                    # minutes per table at SF1)
+                    import jax
+                    import jax.numpy as jnp
+                    idx_dev = jnp.asarray(
+                        np.random.default_rng(0).integers(0, n, sample))
+                    gathered = jax.jit(
+                        lambda tt: {c: col.data[idx_dev]
+                                    for c, col in tt.columns.items()})(t)
+                    host = {c: np.asarray(v) for c, v in gathered.items()}
+                else:
+                    host = {c: np.asarray(col.data)
+                            for c, col in t.columns.items()}
+                    idx = None
                 for cname, col in t.columns.items():
-                    data = np.asarray(col.data)
-                    d = data if idx is None else data[idx]
+                    d = host[cname]
                     ndv = len(np.unique(d))
-                    if idx is not None:
+                    if n > sample:
                         # first-order extrapolation for sampled NDV
                         ndv = min(n, int(ndv * max(1.0, n / sample) ** 0.5)) if ndv > sample // 2 else ndv
-                    stats[cname] = ColumnStats(
-                        ndv=max(int(ndv), 1),
-                        min=float(d.min()) if len(d) and d.dtype.kind in "if" else None,
-                        max=float(d.max()) if len(d) and d.dtype.kind in "if" else None,
-                    )
+                    if col.vrange is not None:
+                        mn, mx = float(col.vrange[0]), float(col.vrange[1])
+                    elif len(d) and d.dtype.kind in "if":
+                        mn, mx = float(d.min()), float(d.max())
+                    else:
+                        mn = mx = None
+                    stats[cname] = ColumnStats(ndv=max(int(ndv), 1),
+                                               min=mn, max=mx)
             cat.add(TableMeta(
                 name=name,
                 schema={c: col.dtype for c, col in t.columns.items()},
