@@ -1,17 +1,24 @@
 """Physical query plans.
 
 Analog of StarRocks' ExecNode tree + pipeline decomposition
-(be/src/exec/exec_node.h:211, be/src/exec/pipeline/). On TPU the pipeline
-driver loop (pipeline_driver.cpp:246) disappears: a plan is a tree of pure
-functions over Table pytrees, and XLA compiles the whole fragment into one
-program — operator fusion, scheduling and parallelism are the compiler's job
-(the analog of 'decompose_to_pipeline' is jit tracing).
+(be/src/exec/exec_node.h:211, be/src/exec/pipeline/). Execution is
+OPERATOR-AT-A-TIME: each plan node's kernel is its own jitted XLA module
+over Table pytrees (intermediates stay in HBM; a Filter shares its child's
+column arrays and only adds a live mask, so materialization is masks, not
+copies). This is deliberate — compiling a whole query as one module made
+the TPU compiler re-lower every sort network per query (200s+ compiles,
+compiler OOM on join-heavy plans), while per-operator modules are small,
+fast to compile, and dedupe across queries in the persistent compilation
+cache (two queries grouping 6M rows compile the same module once).
+The driver loop of the reference (pipeline_driver.cpp:246) maps to this
+eager node walk; DOP/fusion inside an operator are XLA's.
 
 Dynamic sizing (hash-table capacities, join fanout) is static per compile;
-each sizing decision is owned by a plan node and reported via overflow flags.
-The host `execute` loop retries with grown capacities on overflow — the
-analog of StarRocks' two-level hash map conversion and spill decisions, paid
-as a (cached) recompile instead.
+each sizing decision is owned by a plan node: in eager mode the node sees
+its overflow flag immediately and retries itself with grown sizes (the
+analog of StarRocks' two-level hash map conversion, paid as a cached
+recompile). In traced mode (multi-chip SPMD programs, graft dry-runs) flags
+are reported to the context and the caller owns the retry loop.
 """
 
 from __future__ import annotations
@@ -35,18 +42,61 @@ _node_counter = itertools.count()
 
 
 class ExecContext:
-    """Per-execution state: static capacities + collected overflow flags."""
+    """Per-execution state: sizing registry + (traced mode) overflow flags."""
 
-    def __init__(self, tables: dict[str, Table], capacities: dict[int, int]):
+    def __init__(self, tables: dict[str, Table], capacities: Optional[dict] = None,
+                 eager: bool = False):
         self.tables = tables
-        self.capacities = capacities
-        self.overflows: dict[int, jnp.ndarray] = {}
+        self.capacities = capacities if capacities is not None else {}
+        self.overflows: dict = {}
+        self.used_sizes: dict = {}
+        self.eager = eager
 
-    def capacity(self, node_id: int, default: int) -> int:
-        return self.capacities.get(node_id, default)
+    # -- sizing ------------------------------------------------------------
+    def sizes(self, node: "PlanNode", defaults: tuple) -> tuple:
+        return tuple(self.capacities.get((node.node_id, i), d)
+                     for i, d in enumerate(defaults))
 
-    def report(self, node_id: int, flag):
-        self.overflows[node_id] = flag
+    def capacity(self, key, default: int) -> int:
+        """Single-size lookup (used by the distributed executor)."""
+        return self.capacities.get(key, default)
+
+    def report(self, key, flag):
+        self.overflows[key] = flag
+
+    # -- kernel execution --------------------------------------------------
+    def op(self, node: "PlanNode", fn, *args, key=()):
+        """Run a pure kernel: inline when traced, as the node's own jitted
+        module (cached per static `key`) when eager."""
+        if not self.eager:
+            return fn(*args)
+        cache = node.__dict__.setdefault("_op_jits", {})
+        if key not in cache:
+            cache[key] = jax.jit(fn)
+        return cache[key](*args)
+
+    def run_sized(self, node: "PlanNode", make_fn, args, defaults: tuple):
+        """Run make_fn(sizes)(*args) -> (result, flags). Eager: retry with
+        grown sizes until no flag is set. Traced: report flags upward."""
+        from starrocks_tpu.config import CONFIG
+        sizes = self.sizes(node, defaults)
+        if not self.eager:
+            out, flags = make_fn(sizes)(*args)
+            for i, f in enumerate(flags):
+                self.overflows[(node.node_id, i)] = f
+                self.used_sizes[(node.node_id, i)] = sizes[i]
+            return out
+        for _ in range(CONFIG.max_capacity_retries):
+            out, flags = self.op(node, make_fn(sizes), *args, key=sizes)
+            bad = [i for i, f in enumerate(flags) if bool(f)]
+            if not bad:
+                for i, s in enumerate(sizes):
+                    self.capacities[(node.node_id, i)] = s
+                return out
+            sizes = tuple(s * CONFIG.capacity_growth_factor if i in bad else s
+                          for i, s in enumerate(sizes))
+        raise RuntimeError(
+            f"node {node.node_id} did not converge after retries")
 
 
 class PlanNode:
@@ -88,9 +138,13 @@ class Filter(PlanNode):
 
     def run(self, ctx):
         t = self.child.run(ctx)
-        p = self.predicate.eval(t)
-        mask = p.data if p.valid is None else (p.data & p.valid)
-        return t.filter(mask)
+
+        def kernel(t):
+            p = self.predicate.eval(t)
+            mask = p.data if p.valid is None else (p.data & p.valid)
+            return t.filter(mask)
+
+        return ctx.op(self, kernel, t)
 
 
 @dataclasses.dataclass(eq=False)
@@ -101,10 +155,14 @@ class Project(PlanNode):
 
     def run(self, ctx):
         t = self.child.run(ctx)
-        cols = {}
-        for name, e in self.outputs.items():
-            cols[name] = t[e] if isinstance(e, str) else e.eval(t)
-        return Table(columns=cols, live=t.live)
+
+        def kernel(t):
+            cols = {}
+            for name, e in self.outputs.items():
+                cols[name] = t[e] if isinstance(e, str) else e.eval(t)
+            return Table(columns=cols, live=t.live)
+
+        return ctx.op(self, kernel, t)
 
 
 @dataclasses.dataclass(eq=False)
@@ -115,9 +173,13 @@ class AddColumns(PlanNode):
 
     def run(self, ctx):
         t = self.child.run(ctx)
-        for name, e in self.outputs.items():
-            t = t.with_column(name, e.eval(t))
-        return t
+
+        def kernel(t):
+            for name, e in self.outputs.items():
+                t = t.with_column(name, e.eval(t))
+            return t
+
+        return ctx.op(self, kernel, t)
 
 
 @dataclasses.dataclass(eq=False)
@@ -146,19 +208,35 @@ class HashJoin(PlanNode):
     fanout: int = 4
 
     def run(self, ctx):
-        from starrocks_tpu.ops import merge_join
-
         p = self.probe.run(ctx)
         b = self.build.run(ctx)
-        cap = ctx.capacity(self.node_id, self.capacity)
-        probe_cols = [p[k] for k in self.left_keys]
-        build_cols = [b[k] for k in self.right_keys]
         if self.join_type == "null_aware_anti":
+            return ctx.run_sized(self, self._naa_kernel, (p, b),
+                                 (self.capacity,))
+        if self.unique:
+            return ctx.run_sized(self, self._unique_kernel, (p, b),
+                                 (self.capacity,))
+        if self.join_type in ("semi", "anti"):
+            return ctx.run_sized(self, self._semi_kernel, (p, b),
+                                 (self.capacity,))
+        if self.join_type in ("right_semi", "right_anti"):
+            return ctx.run_sized(self, self._rsemi_kernel, (p, b),
+                                 (_cap_pow2(16384),))
+        return ctx.run_sized(self, self._expand_kernel, (p, b),
+                             (self.capacity, self.fanout))
+
+    def _keys(self, p, b):
+        return [p[k] for k in self.left_keys], [b[k] for k in self.right_keys]
+
+    def _naa_kernel(self, sizes):
+        (cap,) = sizes
+
+        def kernel(p, b):
             # NOT IN semantics: drop matches; drop everything if the build
             # set contains a NULL key; drop NULL-key probe rows unless the
             # build set is empty (null-aware-left-anti, hash_joiner.h).
+            probe_cols, build_cols = self._keys(p, b)
             bt = hj.build(build_cols, b.live_mask(), cap)
-            ctx.report(self.node_id, bt.overflow)
             matched, _ = hj.lookup(bt, probe_cols, p.live_mask())
             blive = b.live_mask()
             bnull = jnp.zeros((b.nrows,), jnp.bool_)
@@ -172,24 +250,33 @@ class HashJoin(PlanNode):
                 if c.valid is not None:
                     pnull = pnull | ~c.valid
             keep = ~matched & ~build_has_null & (~pnull | ~build_nonempty)
-            return p.filter(keep)
-        if self.unique:
+            return p.filter(keep), (bt.overflow,)
+
+        return kernel
+
+    def _unique_kernel(self, sizes):
+        from starrocks_tpu.ops import merge_join
+        (cap,) = sizes
+
+        def kernel(p, b):
+            probe_cols, build_cols = self._keys(p, b)
             if cap >= merge_join.MERGE_THRESHOLD:
                 # large build: sort-merge lookup (no hash table, no overflow)
                 matched, row = merge_join.merge_lookup(
                     build_cols, b.live_mask(), probe_cols, p.live_mask())
+                overflow = jnp.zeros((), jnp.bool_)
             else:
                 bt = hj.build(build_cols, b.live_mask(), cap)
-                ctx.report(self.node_id, bt.overflow)
+                overflow = bt.overflow
                 matched, row = hj.lookup(bt, probe_cols, p.live_mask())
             if self.join_type in ("right_semi", "right_anti", "right_outer",
                                   "full_outer"):
                 flags = hj.build_match_flags(row, matched & p.live_mask(),
                                              b.nrows)
                 if self.join_type == "right_semi":
-                    return b.filter(flags)
+                    return b.filter(flags), (overflow,)
                 if self.join_type == "right_anti":
-                    return b.filter(~flags)
+                    return b.filter(~flags), (overflow,)
             out = p
             if self.join_type in ("inner", "right_outer"):
                 out = out.filter(matched)
@@ -197,9 +284,9 @@ class HashJoin(PlanNode):
             elif self.join_type in ("left_outer", "full_outer"):
                 add_valid = matched
             elif self.join_type == "semi":
-                return p.filter(matched)
+                return p.filter(matched), (overflow,)
             elif self.join_type == "anti":
-                return p.filter(~matched)
+                return p.filter(~matched), (overflow,)
             else:
                 raise ValueError(self.join_type)
             for name in self.build_cols:
@@ -207,61 +294,82 @@ class HashJoin(PlanNode):
                 out = out.with_column(name, c)
             if self.join_type in ("right_outer", "full_outer"):
                 out = _append_unmatched_build(out, b, self.build_cols, flags)
-            return out
-        # expansion join (duplicate build keys)
-        bt = hj.build(build_cols, b.live_mask(), cap)
-        ctx.report(self.node_id, bt.overflow)
-        if self.join_type in ("semi", "anti", "right_semi", "right_anti"):
-            matched, row = hj.lookup(bt, probe_cols, p.live_mask())
-            if self.join_type == "semi":
-                return p.filter(matched)
-            if self.join_type == "anti":
-                return p.filter(~matched)
+            return out, (overflow,)
+
+        return kernel
+
+    def _semi_kernel(self, sizes):
+        (cap,) = sizes
+
+        def kernel(p, b):
+            probe_cols, build_cols = self._keys(p, b)
+            bt = hj.build(build_cols, b.live_mask(), cap)
+            matched, _ = hj.lookup(bt, probe_cols, p.live_mask())
+            keep = matched if self.join_type == "semi" else ~matched
+            return p.filter(keep), (bt.overflow,)
+
+        return kernel
+
+    def _rsemi_kernel(self, sizes):
+        (pcap,) = sizes
+
+        def kernel(p, b):
             # right semi/anti need every chained build row marked, not just
             # chain heads: match from the build side instead (symmetric probe
             # into a probe-keys table).
-            pt = hj.build(probe_cols, p.live_mask(),
-                          ctx.capacity(-self.node_id - 2, _cap_pow2(p.nrows)))
-            ctx.report(-self.node_id - 2, pt.overflow)
+            probe_cols, build_cols = self._keys(p, b)
+            pt = hj.build(probe_cols, p.live_mask(), pcap)
             bmatched, _ = hj.lookup(pt, build_cols, b.live_mask())
             keep = bmatched if self.join_type == "right_semi" else ~bmatched
-            return b.filter(keep)
-        fanout = ctx.capacity(-self.node_id - 1, self.fanout)
-        pi, bi, ok, truncated = hj.probe_expand(bt, probe_cols, p.live_mask(), fanout)
-        ctx.report(-self.node_id - 1, truncated)
-        ok = ok & p.live_mask()[jnp.clip(pi, 0, p.nrows - 1)]
-        if self.join_type in ("inner", "right_outer", "full_outer"):
-            out = p.gather(pi, None if self.join_type == "full_outer" else ok)
-            if self.join_type == "inner":
-                out = out.with_live(out.live_mask() & ok)
-                for name in self.build_cols:
-                    out = out.with_column(name, b[name].gather(bi))
-                return out
-            flags = hj.build_match_flags(bi, ok, b.nrows)
-            if self.join_type == "right_outer":
-                out = out.with_live(out.live_mask() & ok)
-                for name in self.build_cols:
-                    out = out.with_column(name, b[name].gather(bi))
-            else:  # full_outer: keep unmatched probe rows (k=0 lane) w/ NULLs
+            return b.filter(keep), (pt.overflow,)
+
+        return kernel
+
+    def _expand_kernel(self, sizes):
+        cap, fanout = sizes
+
+        def kernel(p, b):
+            probe_cols, build_cols = self._keys(p, b)
+            bt = hj.build(build_cols, b.live_mask(), cap)
+            pi, bi, ok, truncated = hj.probe_expand(
+                bt, probe_cols, p.live_mask(), fanout)
+            flags2 = (bt.overflow, truncated)
+            ok = ok & p.live_mask()[jnp.clip(pi, 0, p.nrows - 1)]
+            if self.join_type in ("inner", "right_outer", "full_outer"):
+                out = p.gather(pi, None if self.join_type == "full_outer" else ok)
+                if self.join_type == "inner":
+                    out = out.with_live(out.live_mask() & ok)
+                    for name in self.build_cols:
+                        out = out.with_column(name, b[name].gather(bi))
+                    return out, flags2
+                flags = hj.build_match_flags(bi, ok, b.nrows)
+                if self.join_type == "right_outer":
+                    out = out.with_live(out.live_mask() & ok)
+                    for name in self.build_cols:
+                        out = out.with_column(name, b[name].gather(bi))
+                else:  # full_outer: keep unmatched probe rows (k=0 lane) w/ NULLs
+                    first_lane = (jnp.arange(pi.shape[0]) % fanout) == 0
+                    probe_matched, _ = hj.lookup(bt, probe_cols, p.live_mask())
+                    keep = ok | (first_lane
+                                 & ~probe_matched[jnp.clip(pi, 0, p.nrows - 1)])
+                    out = out.with_live(out.live_mask() & keep)
+                    for name in self.build_cols:
+                        out = out.with_column(name, b[name].gather(bi, ok))
+                return (_append_unmatched_build(out, b, self.build_cols, flags),
+                        flags2)
+            if self.join_type == "left_outer":
+                out = p.gather(pi, None)
+                # keep one row per unmatched probe row (k=0 lane), NULL build
                 first_lane = (jnp.arange(pi.shape[0]) % fanout) == 0
                 probe_matched, _ = hj.lookup(bt, probe_cols, p.live_mask())
-                keep = ok | (first_lane & ~probe_matched[jnp.clip(pi, 0, p.nrows - 1)])
+                keep = ok | (first_lane & ~probe_matched[pi])
                 out = out.with_live(out.live_mask() & keep)
                 for name in self.build_cols:
                     out = out.with_column(name, b[name].gather(bi, ok))
-            return _append_unmatched_build(out, b, self.build_cols, flags)
-        if self.join_type == "left_outer":
-            out = p.gather(pi, None)
-            # keep one row per unmatched probe row (the k=0 lane), NULL build
-            matched_pair = ok
-            first_lane = (jnp.arange(pi.shape[0]) % fanout) == 0
-            probe_matched, _ = hj.lookup(bt, probe_cols, p.live_mask())
-            keep = matched_pair | (first_lane & ~probe_matched[pi])
-            out = out.with_live(out.live_mask() & keep)
-            for name in self.build_cols:
-                out = out.with_column(name, b[name].gather(bi, matched_pair))
-            return out
-        raise ValueError(self.join_type)
+                return out, flags2
+            raise ValueError(self.join_type)
+
+        return kernel
 
 
 @dataclasses.dataclass(eq=False)
@@ -274,8 +382,9 @@ class Aggregate(PlanNode):
     def run(self, ctx):
         t = self.child.run(ctx)
         if not self.keys:
-            return _global_agg(t, self.aggs)
-        return hash_agg.groupby(t, self.keys, self.aggs)
+            return ctx.op(self, lambda t: _global_agg(t, self.aggs), t)
+        return ctx.op(
+            self, lambda t: hash_agg.groupby(t, self.keys, self.aggs), t)
 
 
 def _global_agg(t: Table, aggs: Sequence[AggSpec]) -> Table:
@@ -360,49 +469,61 @@ class SetOp(PlanNode):
     est_rows: int = 4096
 
     def run(self, ctx):
-        from starrocks_tpu.column import dtypes as _dt
-        from starrocks_tpu.ops import hash_agg as _ha
-        from starrocks_tpu.ops import hash_join as _hj
-
         lt = self.left.run(ctx)
         rt = self.right.run(ctx)
+        if self.kind in ("union_all", "union"):
+            return ctx.op(self, self._union_kernel, lt, rt)
+        return ctx.run_sized(self, self._setop_kernel, (lt, rt),
+                             (_cap_pow2(rt.nrows),))
+
+    def _prep(self, lt, rt):
         lnames = lt.column_names()
         rnames = rt.column_names()
         assert len(lnames) == len(rnames), "set op arity mismatch"
-        # unify string dictionaries positionally
+        # unify string dictionaries positionally (trace-time host metadata)
         lcols, rcols = {}, {}
         for ln, rn in zip(lnames, rnames):
             a, b = lt[ln], rt[rn]
             if a.dtype.is_string and a.dict_id != b.dict_id:
                 a, b = _unify_dicts(a, b)
             lcols[ln], rcols[ln] = a, b
+        return lnames, lcols, rcols
 
-        if self.kind in ("union_all", "union"):
-            cols = {}
-            for ln in lnames:
-                a, b = lcols[ln], rcols[ln]
-                data = jnp.concatenate([a.data, b.data.astype(a.data.dtype)])
-                if a.valid is None and b.valid is None:
-                    valid = None
-                else:
-                    valid = jnp.concatenate([a.validity(), b.validity()])
-                cols[ln] = Column(data, valid, a.dtype, a.dict_id)
-            live = jnp.concatenate([lt.live_mask(), rt.live_mask()])
-            out = Table(columns=cols, live=live)
-            if self.kind == "union":
-                out = _ha.groupby(out, tuple(lnames), ())
-            return out
+    def _union_kernel(self, lt, rt):
+        from starrocks_tpu.ops import hash_agg as _ha
+        lnames, lcols, rcols = self._prep(lt, rt)
+        cols = {}
+        for ln in lnames:
+            a, b = lcols[ln], rcols[ln]
+            data = jnp.concatenate([a.data, b.data.astype(a.data.dtype)])
+            if a.valid is None and b.valid is None:
+                valid = None
+            else:
+                valid = jnp.concatenate([a.validity(), b.validity()])
+            cols[ln] = Column(data, valid, a.dtype, a.dict_id)
+        live = jnp.concatenate([lt.live_mask(), rt.live_mask()])
+        out = Table(columns=cols, live=live)
+        if self.kind == "union":
+            out = _ha.groupby(out, tuple(lnames), ())
+        return out
 
-        # intersect / except: distinct left, then semi/anti join on all cols
-        ltab = Table(columns=lcols, live=lt.live)
-        rtab = Table(columns=rcols, live=rt.live)
-        dl = _ha.groupby(ltab, tuple(lnames), ())
-        bt = _hj.build([rtab[n] for n in lnames], rtab.live_mask(),
-                       ctx.capacity(-self.node_id - 1, _cap_pow2(rt.nrows)))
-        ctx.report(-self.node_id - 1, bt.overflow)
-        matched, _ = _hj.lookup(bt, [dl[n] for n in lnames], dl.live_mask())
-        keep = matched if self.kind == "intersect" else ~matched
-        return dl.filter(keep)
+    def _setop_kernel(self, sizes):
+        from starrocks_tpu.ops import hash_agg as _ha
+        from starrocks_tpu.ops import hash_join as _hj
+        (cap,) = sizes
+
+        def kernel(lt, rt):
+            # intersect/except: distinct left, then semi/anti join on all cols
+            lnames, lcols, rcols = self._prep(lt, rt)
+            ltab = Table(columns=lcols, live=lt.live)
+            rtab = Table(columns=rcols, live=rt.live)
+            dl = _ha.groupby(ltab, tuple(lnames), ())
+            bt = _hj.build([rtab[n] for n in lnames], rtab.live_mask(), cap)
+            matched, _ = _hj.lookup(bt, [dl[n] for n in lnames], dl.live_mask())
+            keep = matched if self.kind == "intersect" else ~matched
+            return dl.filter(keep), (bt.overflow,)
+
+        return kernel
 
 
 def _append_unmatched_build(out: Table, b: Table, build_cols, flags) -> Table:
@@ -460,13 +581,17 @@ class BroadcastScalar(PlanNode):
     def run(self, ctx):
         t = self.child.run(ctx)
         s = self.source.run(ctx)
-        n = t.nrows
-        for name in self.columns:
-            c = s[name]
-            data = jnp.broadcast_to(c.data[0], (n,))
-            valid = None if c.valid is None else jnp.broadcast_to(c.valid[0], (n,))
-            t = t.with_column(name, Column(data, valid, c.dtype, c.dict_id))
-        return t
+
+        def kernel(t, s):
+            n = t.nrows
+            for name in self.columns:
+                c = s[name]
+                data = jnp.broadcast_to(c.data[0], (n,))
+                valid = None if c.valid is None else jnp.broadcast_to(c.valid[0], (n,))
+                t = t.with_column(name, Column(data, valid, c.dtype, c.dict_id))
+            return t
+
+        return ctx.op(self, kernel, t, s)
 
 
 @dataclasses.dataclass(eq=False)
@@ -477,7 +602,7 @@ class Sort(PlanNode):
 
     def run(self, ctx):
         t = self.child.run(ctx)
-        return sort_table(t, self.keys, self.limit)
+        return ctx.op(self, lambda t: sort_table(t, self.keys, self.limit), t)
 
 
 @dataclasses.dataclass(eq=False)
@@ -488,30 +613,48 @@ class Limit(PlanNode):
     def run(self, ctx):
         from starrocks_tpu.ops import scan_utils as su
         t = self.child.run(ctx)
-        live = t.live_mask()
-        rank = su.prefix_sum(live.astype(jnp.int32)) - 1
-        return t.with_live(live & (rank < self.n))
+
+        def kernel(t):
+            live = t.live_mask()
+            rank = su.prefix_sum(live.astype(jnp.int32)) - 1
+            return t.with_live(live & (rank < self.n))
+
+        return ctx.op(self, kernel, t)
 
 
 def execute(plan: PlanNode, tables: dict[str, Table], max_retries: int = None) -> Table:
-    """Compile + run a plan; grow capacities and retry on overflow.
+    """Operator-at-a-time eager execution: each node runs as its own jitted
+    module (module docstring explains why). Capacity retries happen inside
+    the nodes; converged sizes are remembered on the plan for reuse."""
+    ctx = ExecContext(tables, dict(getattr(plan, "_converged_caps", {})),
+                      eager=True)
+    out = plan.run(ctx)
+    plan._converged_caps = dict(ctx.capacities)
+    return out
 
-    The jitted function is cached per (plan identity, capacities) — repeated
-    executions of the same plan are compile-free.
-    """
+
+def execute_traced(plan: PlanNode, tables: dict[str, Table],
+                   max_retries: int = None) -> Table:
+    """Whole-plan single-program execution (one jitted module) with a host
+    retry loop on overflow flags. Used where one SPMD program is required
+    (graft compile checks, multi-chip dry runs); single-chip queries use the
+    eager `execute`."""
     from starrocks_tpu.config import CONFIG
     if max_retries is None:
         max_retries = CONFIG.max_capacity_retries
     growth = CONFIG.capacity_growth_factor
-    capacities: dict[int, int] = getattr(plan, "_converged_caps", {}).copy()
+    capacities: dict = getattr(plan, "_traced_caps", {}).copy()
     jit_cache = getattr(plan, "_jit_cache", None)
     if jit_cache is None:
         jit_cache = plan._jit_cache = {}
 
+    used_sizes = {}
+
     def make_fn(caps):
         def run_fn(tabs):
-            ctx = ExecContext(tabs, caps)
+            ctx = ExecContext(tabs, caps, eager=False)
             out = plan.run(ctx)
+            used_sizes.update(ctx.used_sizes)
             return out, ctx.overflows
         return jax.jit(run_fn)
 
@@ -520,18 +663,10 @@ def execute(plan: PlanNode, tables: dict[str, Table], max_retries: int = None) -
         if key not in jit_cache:
             jit_cache[key] = make_fn(dict(capacities))
         out, overflows = jit_cache[key](tables)
-        flagged = [nid for nid, f in overflows.items() if bool(f)]
+        flagged = [k for k, f in overflows.items() if bool(f)]
         if not flagged:
-            plan._converged_caps = dict(capacities)
+            plan._traced_caps = dict(capacities)
             return out
-        for nid in flagged:
-            node = next((n for n in plan.walk() if n.node_id == nid), None)
-            if nid < 0:  # fanout overflow
-                real = next(n for n in plan.walk() if -n.node_id - 1 == nid)
-                capacities[nid] = capacities.get(nid, real.fanout) * growth
-            else:
-                base = getattr(node, "capacity", None)
-                if base is None:
-                    base = hash_agg._next_pow2(max(16, node.est_groups * 2))
-                capacities[nid] = capacities.get(nid, base) * growth
+        for k in flagged:
+            capacities[k] = used_sizes.get(k, capacities.get(k, 4096)) * growth
     raise RuntimeError(f"plan did not converge after {max_retries} capacity retries")

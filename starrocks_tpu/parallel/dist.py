@@ -149,14 +149,18 @@ class DistExecutor:
         on `names` iff part_keys is a subset of names (equal keys colocate)."""
         return part_keys is not None and set(part_keys) <= set(names)
 
-    def _shuffle(self, dt: DistTable, keys: tuple[str, ...], node_id: int) -> DistTable:
-        cap = self.ctx.capacity(node_id, 0)
+    def _shuffle(self, dt: DistTable, keys: tuple[str, ...], node_id: int,
+                 slot: int = 100) -> DistTable:
+        # sizing key (node_id, slot): slots >= 100 are shuffle bucket caps,
+        # disjoint from HashJoin/SetOp kernel size slots
+        key = (node_id, slot)
+        cap = self.ctx.capacity(key, 0)
         if cap == 0:
             ndev = lax.axis_size(AXIS)
             cap = max(64, (2 * dt.table.nrows) // ndev)
-            self.ctx.capacities[node_id] = cap
+            self.ctx.capacities[key] = cap
         out, overflow = shuf.shuffle_by_key(dt.table, keys, AXIS, cap)
-        self.ctx.report(node_id, overflow)
+        self.ctx.report(key, overflow)
         return DistTable(out, keys, replicated=False)
 
     # -- dispatch ------------------------------------------------------------
@@ -248,7 +252,7 @@ class DistExecutor:
         # two-phase: local pre-agg -> shuffle by keys -> final merge agg
         partial = hash_agg.groupby(dt.table, node.keys, node.aggs)
         shuffled = self._shuffle(DistTable(partial, None, False), node.keys,
-                                 -node.node_id - 100000)
+                                 node.node_id, slot=101)
         final_aggs = tuple(
             AggSpec(_PARTIAL[a.fn], a.out, a.out) for a in node.aggs
         )
@@ -325,6 +329,12 @@ class _JoinShim:
         self.build = _Const(build_t)
 
     run = plan_mod.HashJoin.run
+    _keys = plan_mod.HashJoin._keys
+    _naa_kernel = plan_mod.HashJoin._naa_kernel
+    _unique_kernel = plan_mod.HashJoin._unique_kernel
+    _semi_kernel = plan_mod.HashJoin._semi_kernel
+    _rsemi_kernel = plan_mod.HashJoin._rsemi_kernel
+    _expand_kernel = plan_mod.HashJoin._expand_kernel
 
 
 class _Const:
@@ -390,14 +400,14 @@ def dist_execute(
         if key not in jit_cache:
             jit_cache[key] = make_fn(dict(capacities))
         out, flags = jit_cache[key](*[dist_tables[n].table for n in names])
-        flagged = [nid for nid, f in flags.items() if int(f) > 0]
+        flagged = [k for k, f in flags.items() if int(f) > 0]
         if not flagged:
             plan._dist_caps = dict(capacities)
             return out
-        for nid in flagged:
-            cur = capacities.get(nid)
+        for k in flagged:
+            cur = capacities.get(k)
             if cur is None:
-                # derive a base: find node defaults
+                nid = k[0] if isinstance(k, tuple) else k
                 node = next((n for n in plan.walk() if n.node_id == nid), None)
                 if node is not None and hasattr(node, "capacity"):
                     cur = node.capacity
@@ -405,5 +415,5 @@ def dist_execute(
                     cur = hash_agg._next_pow2(max(16, node.est_groups * 2))
                 else:
                     cur = 1024
-            capacities[nid] = cur * 4
+            capacities[k] = cur * 4
     raise RuntimeError("distributed plan did not converge after capacity retries")

@@ -77,7 +77,7 @@ def explain(plan: PlanNode) -> str:
 def explain_analyze(plan: PlanNode, tables, capacities: Optional[dict] = None):
     """Run eagerly with per-node timing. Returns (result Table, NodeProfile)."""
     caps = dict(capacities or getattr(plan, "_converged_caps", {}))
-    ctx = ExecContext(tables, caps)
+    ctx = ExecContext(tables, caps, eager=True)
     profiles: dict[int, NodeProfile] = {}
 
     def run(node: PlanNode) -> object:
