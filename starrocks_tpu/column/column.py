@@ -242,3 +242,21 @@ def _compact_live(table: Table):
     cols = {n: c.gather(perm) for n, c in table.columns.items()}
     return (Table(columns=cols, live=None),
             jnp.sum(live.astype(jnp.int32)))
+
+
+def compact_table(table: Table, m: int) -> Table:
+    """Stable-partition live rows to the front and truncate to `m` rows
+    (caller guarantees live count <= m). The engine's mask-based filters
+    never shrink arrays; this is the explicit shrink point the eager
+    executor inserts between operators when a filter proved selective —
+    the analog of StarRocks compacting chunks at operator boundaries
+    (Column::filter_range, be/src/column/column.h:352), paid only when
+    the downstream shape reduction is worth one device pass."""
+    from starrocks_tpu.ops import fast_sort as fs
+
+    live = table.live_mask()
+    perm = fs.argsort_packed(
+        jnp.where(live, jnp.uint64(0), jnp.uint64(1)), 1)
+    idx = perm[:m]
+    cols = {n: c.gather(idx) for n, c in table.columns.items()}
+    return Table(columns=cols, live=live[idx])

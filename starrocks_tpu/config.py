@@ -26,6 +26,15 @@ class EngineConfig:
     shuffle_bucket_headroom: float = 2.0   # per-dest capacity multiplier
     # bench/timing
     relay_roundtrip_ms: float = 30.0
+    # adaptive compaction (eager mode): shrink a table's static shape when a
+    # filter proved selective. Costs one live-count readback + one device
+    # pass; pays when downstream operators are heavy.
+    enable_compaction: bool = True
+    compaction_min_rows: int = 1 << 17     # never compact smaller inputs
+    compaction_floor: int = 1 << 13        # smallest compacted shape
+    # runtime filters (build-side min-max pushed to the probe input,
+    # RuntimeMembershipFilter analog, be/src/exprs/runtime_filter.h:1093)
+    enable_runtime_filters: bool = True
 
 
 CONFIG = EngineConfig()

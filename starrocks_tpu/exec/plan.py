@@ -40,6 +40,8 @@ from starrocks_tpu.ops.sort import SortKey, sort_table
 
 _node_counter = itertools.count()
 
+_live_count = jax.jit(lambda live: jnp.sum(live.astype(jnp.int32)))
+
 
 class ExecContext:
     """Per-execution state: sizing registry + (traced mode) overflow flags."""
@@ -74,6 +76,23 @@ class ExecContext:
         if key not in cache:
             cache[key] = jax.jit(fn)
         return cache[key](*args)
+
+    def maybe_compact(self, node: "PlanNode", t: Table, tag: str = "c") -> Table:
+        """Eager-mode adaptive compaction: when a table's live fraction is
+        low, shrink it to a pow2-padded array of just the live rows so every
+        downstream operator runs on the smaller shape. Pow2 targets bound the
+        number of compiled shapes; the live-count readback is the same class
+        of host sync the capacity-retry flags already pay."""
+        from starrocks_tpu.config import CONFIG
+        if (not self.eager or not CONFIG.enable_compaction
+                or t.live is None or t.nrows < CONFIG.compaction_min_rows):
+            return t
+        n_live = int(_live_count(t.live))
+        m = max(1 << max(n_live - 1, 1).bit_length(), CONFIG.compaction_floor)
+        if m * 2 > t.nrows:
+            return t
+        from starrocks_tpu.column.column import compact_table
+        return self.op(node, lambda t: compact_table(t, m), t, key=(tag, m))
 
     def run_sized(self, node: "PlanNode", make_fn, args, defaults: tuple):
         """Run make_fn(sizes)(*args) -> (result, flags). Eager: retry with
@@ -144,7 +163,7 @@ class Filter(PlanNode):
             mask = p.data if p.valid is None else (p.data & p.valid)
             return t.filter(mask)
 
-        return ctx.op(self, kernel, t)
+        return ctx.maybe_compact(self, ctx.op(self, kernel, t))
 
 
 @dataclasses.dataclass(eq=False)
@@ -207,23 +226,54 @@ class HashJoin(PlanNode):
     unique: bool = True
     fanout: int = 4
 
+    # join types where probe rows that cannot match any build key are
+    # dropped from (or contribute nothing to) the output — the only types a
+    # probe-side runtime filter is semantics-preserving for
+    _RF_TYPES = ("inner", "semi", "right_semi", "right_outer", "right_anti")
+
     def run(self, ctx):
+        from starrocks_tpu.config import CONFIG
         p = self.probe.run(ctx)
         b = self.build.run(ctx)
+        b = ctx.maybe_compact(self, b, tag="cb")
+        if (ctx.eager and CONFIG.enable_runtime_filters
+                and self.join_type in self._RF_TYPES):
+            p = ctx.op(self, self._rf_kernel, p, b, key="rf")
+        p = ctx.maybe_compact(self, p, tag="cp")
+        # a build side of Nb rows can never need more than ~2*Nb slots;
+        # bound the planner's estimate by the actual (post-compaction) shape
+        cap0 = min(max(self.capacity, 16), _cap_pow2(b.nrows))
         if self.join_type == "null_aware_anti":
-            return ctx.run_sized(self, self._naa_kernel, (p, b),
-                                 (self.capacity,))
+            return ctx.run_sized(self, self._naa_kernel, (p, b), (cap0,))
         if self.unique:
-            return ctx.run_sized(self, self._unique_kernel, (p, b),
-                                 (self.capacity,))
+            return ctx.run_sized(self, self._unique_kernel, (p, b), (cap0,))
         if self.join_type in ("semi", "anti"):
-            return ctx.run_sized(self, self._semi_kernel, (p, b),
-                                 (self.capacity,))
+            return ctx.run_sized(self, self._semi_kernel, (p, b), (cap0,))
         if self.join_type in ("right_semi", "right_anti"):
             return ctx.run_sized(self, self._rsemi_kernel, (p, b),
-                                 (_cap_pow2(16384),))
+                                 (min(_cap_pow2(16384), _cap_pow2(p.nrows)),))
         return ctx.run_sized(self, self._expand_kernel, (p, b),
-                             (self.capacity, self.fanout))
+                             (cap0, self.fanout))
+
+    def _rf_kernel(self, p, b):
+        """Probe-side min-max runtime filter (RuntimeMembershipFilter's
+        min-max component, be/src/exprs/runtime_filter.h; membership
+        filtering itself is inherent to the probe). Marks probe rows whose
+        key falls outside the build side's [min, max] dead before the probe;
+        pays off through the compaction that follows."""
+        blive = b.live_mask()
+        mask = p.live_mask()
+        for pk, bk in zip(self.left_keys, self.right_keys):
+            pc, bc = p[pk], b[bk]
+            bd = bc.data.astype(pc.data.dtype)
+            bv = blive if bc.valid is None else (blive & bc.valid)
+            lo = jnp.min(jnp.where(bv, bd, hash_agg._type_max(bd.dtype)))
+            hi = jnp.max(jnp.where(bv, bd, hash_agg._type_min(bd.dtype)))
+            ok = (pc.data >= lo) & (pc.data <= hi)
+            if pc.valid is not None:
+                ok = ok & pc.valid
+            mask = mask & ok
+        return p.with_live(mask)
 
     def _keys(self, p, b):
         return [p[k] for k in self.left_keys], [b[k] for k in self.right_keys]
@@ -380,7 +430,7 @@ class Aggregate(PlanNode):
     est_groups: int = 1024
 
     def run(self, ctx):
-        t = self.child.run(ctx)
+        t = ctx.maybe_compact(self, self.child.run(ctx))
         if not self.keys:
             return ctx.op(self, lambda t: _global_agg(t, self.aggs), t)
         return ctx.op(
@@ -469,8 +519,8 @@ class SetOp(PlanNode):
     est_rows: int = 4096
 
     def run(self, ctx):
-        lt = self.left.run(ctx)
-        rt = self.right.run(ctx)
+        lt = ctx.maybe_compact(self, self.left.run(ctx), tag="cl")
+        rt = ctx.maybe_compact(self, self.right.run(ctx), tag="cr")
         if self.kind in ("union_all", "union"):
             return ctx.op(self, self._union_kernel, lt, rt)
         return ctx.run_sized(self, self._setop_kernel, (lt, rt),
@@ -601,8 +651,27 @@ class Sort(PlanNode):
     limit: Optional[int] = None
 
     def run(self, ctx):
-        t = self.child.run(ctx)
+        t = ctx.maybe_compact(self, self.child.run(ctx))
         return ctx.op(self, lambda t: sort_table(t, self.keys, self.limit), t)
+
+
+@dataclasses.dataclass(eq=False)
+class Window(PlanNode):
+    """Analytic window evaluation (Analytor analog, be/src/exec/analytor.h:52):
+    appends window-function result columns; all specs share one
+    (partition, order) sort."""
+    child: PlanNode
+    partition_by: tuple[str, ...]
+    order_by: tuple[SortKey, ...]
+    specs: tuple
+
+    def run(self, ctx):
+        from starrocks_tpu.ops.window import window as _window
+        t = ctx.maybe_compact(self, self.child.run(ctx))
+        return ctx.op(
+            self,
+            lambda t: _window(t, self.partition_by, self.order_by, self.specs),
+            t)
 
 
 @dataclasses.dataclass(eq=False)

@@ -481,6 +481,20 @@ class Case(Expr):
 
 
 @dataclasses.dataclass(eq=False)
+class NullLike(Expr):
+    """An all-NULL column with the dtype/dictionary of an existing column —
+    the grouping-sets key mask (RepeatNode nulls grouped-out key slots,
+    be/src/exec/repeat_node.cpp)."""
+    name: str
+
+    def eval(self, table: Table) -> Column:
+        c = table[self.name]
+        return Column(jnp.zeros_like(c.data),
+                      jnp.zeros(c.data.shape, jnp.bool_),
+                      c.dtype, c.dict_id)
+
+
+@dataclasses.dataclass(eq=False)
 class Coalesce(Expr):
     exprs: list
 

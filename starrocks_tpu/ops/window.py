@@ -8,9 +8,11 @@ vectorized ops), and scattered back through the inverse permutation. All
 static shapes; dead rows sort last and are excluded via masks.
 
 Supported functions:
-  row_number, rank, dense_rank,
+  row_number, rank, dense_rank, percent_rank, cume_dist, ntile(n),
+  lag/lead(col, offset), first_value/last_value,
   sum/min/max/count/avg over the whole partition, or as a running
-  (unbounded-preceding) frame when `running=True`.
+  (unbounded-preceding) frame when `running=True` (`peers=True` gives
+  RANGE-frame semantics: order-by ties share the frame end).
 """
 
 from __future__ import annotations
@@ -28,10 +30,16 @@ from starrocks_tpu.ops.sort import SortKey, sort_permutation
 
 @dataclasses.dataclass(frozen=True)
 class WindowSpec:
-    fn: str                      # row_number | rank | dense_rank | sum | min | max | count | avg
+    fn: str                      # row_number | rank | dense_rank | percent_rank
+                                 # | cume_dist | ntile | lag | lead
+                                 # | first_value | last_value
+                                 # | sum | min | max | count | avg
     col: Optional[str]           # input column (None for row_number/rank/count(*))
     out: str
     running: bool = False        # unbounded-preceding frame instead of whole partition
+    peers: bool = False          # RANGE frame: order-by ties share the frame end
+    offset: int = 1              # lag/lead distance
+    param: Optional[int] = None  # ntile bucket count
 
 
 def _segment_starts(sorted_cols, live_sorted):
@@ -75,31 +83,83 @@ def window(
     part_cols = [sorted_t[k] for k in partition_by]
     start = _segment_starts(part_cols, live_s) if partition_by else \
         jnp.zeros((n,), jnp.bool_).at[0].set(True)
+    # liveness changes also start a segment: dead rows sort last globally but
+    # the first dead row could share key values with the last live partition —
+    # it must not extend that partition's seg_end
+    start = start | (live_s != jnp.roll(live_s, 1))
+    start = start.at[0].set(True)
 
     # segment id and index of each row's segment start
     seg_id = su.prefix_sum(start.astype(jnp.int32)) - 1
     idx = jnp.arange(n, dtype=jnp.int32)
     seg_first = jnp.where(start, idx, 0)
     seg_first = jax_max_scan(seg_first)
+    seg_end = _segment_end(seg_first, n)
+    n_part = (seg_end - seg_first + 1).astype(jnp.int64)
+
+    # order-by peer groups (RANGE frame granularity) and rank positions
+    ordc = [sorted_t[k.name] for k in order_by]
+    change = (_order_changes(ordc) | start) if order_by else start
+    peer_first = jax_max_scan(jnp.where(change, idx, 0))
+    peer_end = _segment_end(peer_first, n)
+    rank_vals = (peer_first - seg_first + 1).astype(jnp.int64)
 
     out = table
     for spec in specs:
         if spec.fn == "row_number":
             vals = (idx - seg_first + 1).astype(jnp.int64)
             col = Column(vals[inv], None, dt.INT64)
-        elif spec.fn in ("rank", "dense_rank"):
-            ordc = [sorted_t[k.name] for k in order_by]
-            change = _order_changes(ordc) | start
-            if spec.fn == "rank":
-                rank_pos = jnp.where(change, idx, 0)
-                rank_pos = jax_max_scan(rank_pos)
-                vals = (rank_pos - seg_first + 1).astype(jnp.int64)
-            else:
-                dr = su.prefix_sum(change.astype(jnp.int64))
-                first_dr = jnp.where(start, dr, 0)
-                first_dr = jax_max_scan(first_dr)
-                vals = dr - first_dr + 1
+        elif spec.fn == "rank":
+            col = Column(rank_vals[inv], None, dt.INT64)
+        elif spec.fn == "dense_rank":
+            dr = su.prefix_sum(change.astype(jnp.int64))
+            first_dr = jax_max_scan(jnp.where(start, dr, 0))
+            vals = dr - first_dr + 1
             col = Column(vals[inv], None, dt.INT64)
+        elif spec.fn == "percent_rank":
+            denom = jnp.maximum(n_part - 1, 1).astype(jnp.float64)
+            vals = jnp.where(n_part > 1,
+                             (rank_vals - 1).astype(jnp.float64) / denom, 0.0)
+            col = Column(vals[inv], None, dt.FLOAT64)
+        elif spec.fn == "cume_dist":
+            reach = (peer_end - seg_first + 1).astype(jnp.float64)
+            vals = reach / jnp.maximum(n_part, 1).astype(jnp.float64)
+            col = Column(vals[inv], None, dt.FLOAT64)
+        elif spec.fn == "ntile":
+            b = int(spec.param)
+            k = (idx - seg_first).astype(jnp.int64)
+            size = n_part // b
+            rem = n_part % b
+            big = rem * (size + 1)
+            vals = jnp.where(
+                k < big,
+                k // jnp.maximum(size + 1, 1),
+                rem + (k - big) // jnp.maximum(size, 1)) + 1
+            col = Column(vals[inv], None, dt.INT64)
+        elif spec.fn in ("lag", "lead"):
+            c = sorted_t[spec.col]
+            off = int(spec.offset)
+            src = idx - off if spec.fn == "lag" else idx + off
+            ok = (src >= seg_first) if spec.fn == "lag" else (src <= seg_end)
+            srcc = jnp.clip(src, 0, n - 1)
+            data = c.data[srcc]
+            valid = ok & live_s[srcc]
+            if c.valid is not None:
+                valid = valid & c.valid[srcc]
+            col = Column(data[inv], valid[inv], c.dtype, c.dict_id)
+        elif spec.fn in ("first_value", "last_value"):
+            c = sorted_t[spec.col]
+            if spec.fn == "first_value":
+                at = seg_first
+            elif spec.running and spec.peers:
+                at = peer_end
+            elif spec.running:
+                at = idx
+            else:
+                at = seg_end
+            data = c.data[at]
+            valid = live_s[at] if c.valid is None else (live_s[at] & c.valid[at])
+            col = Column(data[inv], valid[inv], c.dtype, c.dict_id)
         else:
             c = sorted_t[spec.col] if spec.col else None
             if spec.fn == "count":
@@ -107,7 +167,12 @@ def window(
                            (live_s & c.validity() if c.valid is not None else live_s)
                            ).astype(jnp.int64)
                 running = _running_sum(contrib, seg_first)
-                vals = running if spec.running else _segment_total(running, seg_id, n, seg_first)
+                if spec.running and spec.peers:
+                    vals = running[peer_end]
+                elif spec.running:
+                    vals = running
+                else:
+                    vals = _segment_total(running, seg_id, n, seg_first)
                 col = Column(vals[inv], None, dt.INT64)
             elif spec.fn in ("sum", "avg"):
                 mask = live_s if c.valid is None else (live_s & c.valid)
@@ -116,7 +181,10 @@ def window(
                                  else c.data, 0)
                 running = _running_sum(data, seg_first)
                 cnt = _running_sum(mask.astype(jnp.int64), seg_first)
-                if not spec.running:
+                if spec.running and spec.peers:
+                    running = running[peer_end]
+                    cnt = cnt[peer_end]
+                elif not spec.running:
                     running = _segment_total(running, seg_id, n, seg_first)
                     cnt = _segment_total(cnt, seg_id, n, seg_first)
                 if spec.fn == "avg":
@@ -133,7 +201,10 @@ def window(
                 data = jnp.where(mask, c.data, sent)
                 running = _running_minmax(data, seg_first, spec.fn)
                 cnt = _running_sum(mask.astype(jnp.int64), seg_first)
-                if not spec.running:
+                if spec.running and spec.peers:
+                    running = running[peer_end]
+                    cnt = cnt[peer_end]
+                elif not spec.running:
                     running = _segment_reduce_pick_last(running, seg_id, n, seg_first)
                     cnt = _segment_total(cnt, seg_id, n, seg_first)
                 col = Column(running[inv], (cnt > 0)[inv], c.dtype, c.dict_id)

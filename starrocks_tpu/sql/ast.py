@@ -55,6 +55,20 @@ class Func(Node):
 
 
 @dataclasses.dataclass
+class WindowExpr(Node):
+    """fn(args) OVER ([PARTITION BY ...] [ORDER BY ...] [frame]).
+
+    frame is None (SQL-default frame) or (kind, end): kind in {rows, range},
+    end in {current, following} for UNBOUNDED PRECEDING .. {CURRENT ROW,
+    UNBOUNDED FOLLOWING} (the only frames the engine supports — the same
+    subset StarRocks' Analytor specializes, be/src/exec/analytor.h)."""
+    func: Func
+    partition_by: list           # [expr]
+    order_by: list               # [(expr, asc)]
+    frame: Optional[tuple] = None
+
+
+@dataclasses.dataclass
 class CastExpr(Node):
     child: Node
     target: str        # int | double | decimal | string | date | bool
@@ -170,3 +184,6 @@ class SelectStmt(Node):
     order_by: list         # [(Node, asc: bool)]
     limit: Optional[int]
     distinct: bool = False
+    grouping_sets: Optional[list] = None  # [tuple(indices into group_by)];
+    # set by ROLLUP/CUBE/GROUPING SETS (RepeatNode analog,
+    # be/src/exec/repeat_node.cpp)

@@ -26,7 +26,8 @@ KEYWORDS = {
     "interval", "year", "month", "day", "extract", "substring", "count",
     "sum", "avg", "min", "max", "all", "any", "union", "cast", "coalesce",
     "true", "false", "view", "create", "drop", "table", "intersect", "except",
-    "with",
+    "with", "over", "partition", "rows", "range", "unbounded", "preceding",
+    "following", "current", "row", "rollup", "cube", "grouping",
 }
 
 SYMBOLS = ["<>", "<=", ">=", "!=", "||", "(", ")", ",", ".", ";", "+", "-",

@@ -118,13 +118,10 @@ class Parser:
                     on = self.parse_expr()
                 joins.append(ast.JoinClause(jk, ref, on))
         where = self.parse_expr() if self.kw("where") else None
-        group_by = []
+        group_by, grouping_sets = [], None
         if self.kw("group"):
             self.expect("KEYWORD", "by")
-            while True:
-                group_by.append(self.parse_expr())
-                if not self.accept("SYMBOL", ","):
-                    break
+            group_by, grouping_sets = self.parse_group_by()
         having = self.parse_expr() if self.kw("having") else None
         order_by = []
         if self.kw("order"):
@@ -144,7 +141,65 @@ class Parser:
             limit = int(self.expect("NUMBER").value)
         return ast.SelectStmt(items=items, star=star, froms=froms, joins=joins,
                               where=where, group_by=group_by, having=having,
-                              order_by=order_by, limit=limit, distinct=distinct)
+                              order_by=order_by, limit=limit, distinct=distinct,
+                              grouping_sets=grouping_sets)
+
+    def parse_group_by(self):
+        """GROUP BY exprs | ROLLUP(..) | CUBE(..) | GROUPING SETS ((..), ..).
+        Returns (group_by exprs, grouping_sets index tuples or None)."""
+        if self.kw("rollup") or self.kw("cube"):
+            kind = self.toks[self.i - 1].value
+            self.expect("SYMBOL", "(")
+            exprs = [self.parse_expr()]
+            while self.accept("SYMBOL", ","):
+                exprs.append(self.parse_expr())
+            self.expect("SYMBOL", ")")
+            k = len(exprs)
+            if kind == "rollup":
+                sets = [tuple(range(i)) for i in range(k, -1, -1)]
+            else:
+                sets = [tuple(i for i in range(k) if mask & (1 << i))
+                        for mask in range(2 ** k - 1, -1, -1)]
+            return exprs, sets
+        if self.kw("grouping"):
+            t = self.expect("IDENT")
+            if t.value.lower() != "sets":
+                raise SyntaxError(f"expected SETS after GROUPING @ {t.pos}")
+            self.expect("SYMBOL", "(")
+            raw_sets = []
+            while True:
+                if self.accept("SYMBOL", "("):
+                    s = []
+                    if not (self.peek().kind == "SYMBOL"
+                            and self.peek().value == ")"):
+                        s.append(self.parse_expr())
+                        while self.accept("SYMBOL", ","):
+                            s.append(self.parse_expr())
+                    self.expect("SYMBOL", ")")
+                else:
+                    s = [self.parse_expr()]
+                raw_sets.append(s)
+                if not self.accept("SYMBOL", ","):
+                    break
+            self.expect("SYMBOL", ")")
+            # union of all set exprs, de-duplicated by repr equality
+            exprs, sets = [], []
+            for s in raw_sets:
+                idxs = []
+                for e in s:
+                    for i, g in enumerate(exprs):
+                        if repr(g) == repr(e):
+                            idxs.append(i)
+                            break
+                    else:
+                        exprs.append(e)
+                        idxs.append(len(exprs) - 1)
+                sets.append(tuple(idxs))
+            return exprs, sets
+        group_by = [self.parse_expr()]
+        while self.accept("SYMBOL", ","):
+            group_by.append(self.parse_expr())
+        return group_by, None
 
     def parse_join_kind(self) -> Optional[str]:
         if self.kw("join") or (self.kw("inner") and self.expect("KEYWORD", "join")):
@@ -359,7 +414,10 @@ class Parser:
         self.expect("SYMBOL", "(")
         if name == "count" and self.accept("SYMBOL", "*"):
             self.expect("SYMBOL", ")")
-            return ast.Func("count", [], star=True)
+            f = ast.Func("count", [], star=True)
+            if self.kw("over"):
+                return self.parse_over(f)
+            return f
         if name == "cast":
             e = self.parse_expr()
             self.expect("KEYWORD", "as")
@@ -389,7 +447,51 @@ class Parser:
             while self.accept("SYMBOL", ","):
                 args.append(self.parse_expr())
         self.expect("SYMBOL", ")")
-        return ast.Func(name, args, distinct=distinct)
+        f = ast.Func(name, args, distinct=distinct)
+        if self.kw("over"):
+            return self.parse_over(f)
+        return f
+
+    def parse_over(self, f: ast.Func) -> ast.WindowExpr:
+        self.expect("SYMBOL", "(")
+        partition_by, order_by = [], []
+        if self.kw("partition"):
+            self.expect("KEYWORD", "by")
+            partition_by.append(self.parse_expr())
+            while self.accept("SYMBOL", ","):
+                partition_by.append(self.parse_expr())
+        if self.kw("order"):
+            self.expect("KEYWORD", "by")
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.kw("desc"):
+                    asc = False
+                else:
+                    self.kw("asc")
+                order_by.append((e, asc))
+                if not self.accept("SYMBOL", ","):
+                    break
+        frame = None
+        fk = "rows" if self.kw("rows") else ("range" if self.kw("range") else None)
+        if fk:
+            if self.kw("between"):
+                self.expect("KEYWORD", "unbounded")
+                self.expect("KEYWORD", "preceding")
+                self.expect("KEYWORD", "and")
+                if self.kw("current"):
+                    self.expect("KEYWORD", "row")
+                    frame = (fk, "current")
+                else:
+                    self.expect("KEYWORD", "unbounded")
+                    self.expect("KEYWORD", "following")
+                    frame = (fk, "following")
+            else:
+                self.expect("KEYWORD", "unbounded")
+                self.expect("KEYWORD", "preceding")
+                frame = (fk, "current")
+        self.expect("SYMBOL", ")")
+        return ast.WindowExpr(f, partition_by, order_by, frame)
 
 
 def parse(text: str) -> ast.SelectStmt:

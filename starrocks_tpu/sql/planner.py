@@ -34,7 +34,7 @@ from starrocks_tpu.column import dtypes as dt
 from starrocks_tpu.exprs import expr as E
 from starrocks_tpu.exec.plan import (
     AddColumns, Aggregate, BroadcastScalar, Filter, HashJoin, Limit, PlanNode,
-    Project, Scan, Sort,
+    Project, Scan, Sort, Window,
 )
 from starrocks_tpu.ops.hash_agg import AggSpec
 from starrocks_tpu.ops.sort import SortKey
@@ -246,8 +246,44 @@ AGG_NAME_MAP = {
 }
 AGG_FN_NAMES = ("avg", "approx_count_distinct") + tuple(AGG_NAME_MAP)
 
+WINDOW_FN_NAMES = ("row_number", "rank", "dense_rank", "percent_rank",
+                   "cume_dist", "ntile", "lag", "lead", "first_value",
+                   "last_value", "sum", "min", "max", "count", "avg")
+
+
+def collect_windows(node, out: list):
+    if isinstance(node, ast.WindowExpr):
+        out.append(node)
+        return
+    if isinstance(node, (ast.ScalarSubquery, ast.ExistsExpr, ast.InSubquery)):
+        return
+    if dataclasses.is_dataclass(node):
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, list):
+                for x in v:
+                    if isinstance(x, tuple):
+                        for y in x:
+                            if isinstance(y, ast.Node):
+                                collect_windows(y, out)
+                    elif isinstance(x, ast.Node):
+                        collect_windows(x, out)
+            elif isinstance(v, ast.Node):
+                collect_windows(v, out)
+
 
 def collect_aggs(node, out: list):
+    if isinstance(node, ast.WindowExpr):
+        # the window fn itself is not a group aggregate, but aggregates may
+        # appear inside its argument / partition / order expressions
+        # (rank() over (order by sum(x)))
+        for a in node.func.args:
+            collect_aggs(a, out)
+        for e in node.partition_by:
+            collect_aggs(e, out)
+        for e, _ in node.order_by:
+            collect_aggs(e, out)
+        return
     if isinstance(node, ast.Func) and node.name in AGG_FN_NAMES:
         out.append(node)
         return
@@ -856,6 +892,18 @@ class Planner:
             stream = self._plan_aggregate(stmt, stream, agg_nodes, scope)
             scope = Scope([stream], parent=outer_scope)
 
+        # window functions evaluate over the post-aggregation stream
+        # (SQL evaluation order: FROM/WHERE/GROUP BY/HAVING -> window -> SELECT)
+        self._win_map = {}
+        win_nodes: list[ast.WindowExpr] = []
+        for it in stmt.items:
+            collect_windows(it.expr, win_nodes)
+        for e, _ in stmt.order_by:
+            collect_windows(e, win_nodes)
+        if win_nodes:
+            stream = self._plan_windows(stream, win_nodes, scope)
+            scope = Scope([stream], parent=outer_scope)
+
         outputs: dict[str, object] = {}
         out_names: list[str] = []
         b = Binder(scope)
@@ -993,6 +1041,10 @@ class Planner:
             plan = AddColumns(plan, pre_cols)
         est = self._est_groups(stream, stmt.group_by)
 
+        if stmt.grouping_sets is not None:
+            return self._plan_grouping_sets(stmt, stream, plan, key_names,
+                                            specs, distinct_aggs, est)
+
         if distinct_aggs:
             assert len(distinct_aggs) == 1, \
                 "multiple distinct aggregates unsupported"
@@ -1039,6 +1091,158 @@ class Planner:
                     out_rel = dataclasses.replace(out_rel, plan=Filter(out_rel.plan, pred))
         return out_rel
 
+    def _plan_grouping_sets(self, stmt, stream: Relation, plan, key_names,
+                            specs, distinct_aggs, est) -> Relation:
+        """ROLLUP / CUBE / GROUPING SETS: one Aggregate per set over the same
+        child, grouped-out keys masked to NULL (the RepeatNode analog,
+        be/src/exec/repeat_node.cpp — the reference replicates input rows
+        per set then aggregates once; aggregating per set over the original
+        input and unioning the small outputs is the cheaper TPU shape),
+        then UNION ALL. grouping(expr) binds to a per-branch literal."""
+        from starrocks_tpu.exec.plan import SetOp
+        assert not distinct_aggs, \
+            "DISTINCT aggregates with GROUPING SETS unsupported"
+
+        # resolve grouping(expr) calls -> group_by index + synthetic column
+        grouping_calls: list[tuple] = []   # (node, key_index, out_name)
+
+        def find_grouping(node):
+            if isinstance(node, ast.Func) and node.name == "grouping":
+                for i, g in enumerate(stmt.group_by):
+                    if _ast_equal(node.args[0], g):
+                        name = _gen("grp")
+                        grouping_calls.append((node, i, name))
+                        self._agg_map[id(node)] = ("col", name)
+                        return
+                raise ValueError("grouping() argument is not a GROUP BY key")
+            if dataclasses.is_dataclass(node):
+                for f in dataclasses.fields(node):
+                    v = getattr(node, f.name)
+                    if isinstance(v, list):
+                        for x in v:
+                            if isinstance(x, tuple):
+                                for y in x:
+                                    if isinstance(y, ast.Node):
+                                        find_grouping(y)
+                            elif isinstance(x, ast.Node):
+                                find_grouping(x)
+                    elif isinstance(v, ast.Node):
+                        find_grouping(v)
+
+        for it in stmt.items:
+            find_grouping(it.expr)
+        if stmt.having is not None:
+            find_grouping(stmt.having)
+        for e, _ in stmt.order_by:
+            find_grouping(e)
+
+        branches = []
+        for set_idxs in stmt.grouping_sets:
+            keep = set(set_idxs)
+            masked = [key_names[i] for i in range(len(key_names))
+                      if i not in keep]
+            branch = plan
+            if masked:
+                branch = AddColumns(branch,
+                                    {k: E.NullLike(k) for k in masked})
+            agg = Aggregate(branch, tuple(key_names), tuple(specs),
+                            est_groups=est)
+            gcols = {name: E.Literal(0 if kidx in keep else 1, dt.INT64)
+                     for _, kidx, name in grouping_calls}
+            if gcols:
+                agg = AddColumns(agg, gcols)
+            branches.append(agg)
+        agg_plan = branches[0]
+        for b2 in branches[1:]:
+            agg_plan = SetOp(agg_plan, b2, "union_all")
+
+        gk_map = {}
+        for alias, m in stream.maps.items():
+            gk_map[alias] = {sql: pn for sql, pn in m.items()
+                             if pn in key_names}
+        synth = {pn: pn for pn in key_names}
+        synth.update({s.out: s.out for s in specs})
+        synth.update({name: name for _, _, name in grouping_calls})
+        gk_map["_agg"] = synth
+        nsets = len(stmt.grouping_sets)
+        out_rel = Relation(agg_plan, gk_map, [], max(1, est * nsets))
+
+        if stmt.having is not None:
+            for c in conjuncts(stmt.having):
+                pred = self._bind_with_agg_refs(c, Binder(Scope([out_rel])))
+                out_rel = dataclasses.replace(out_rel,
+                                              plan=Filter(out_rel.plan, pred))
+        return out_rel
+
+    def _plan_windows(self, stream: Relation, win_nodes, scope) -> Relation:
+        """Plan WindowExpr nodes: bind partition/order/argument expressions to
+        columns, group specs sharing a (partition, order) signature onto one
+        Window node (one sort), and record result bindings in _win_map.
+        (AnalyticAnalyzer + AnalyticPlanner analog, fe/.../sql/analyzer.)"""
+        from starrocks_tpu.ops.window import WindowSpec
+        b = Binder(scope)
+        pre_cols: dict[str, E.Expr] = {}
+
+        def as_col(e):
+            bound = self._bind_with_agg_refs(fold_const(e), b)
+            if isinstance(bound, E.ColRef):
+                return bound.name
+            name = _gen("w")
+            pre_cols[name] = bound
+            return name
+
+        groups: dict = {}
+        for node in win_nodes:
+            if id(node) in self._win_map:
+                continue
+            fn = node.func.name
+            if fn not in WINDOW_FN_NAMES:
+                raise NotImplementedError(f"window function {fn}")
+            pnames = tuple(as_col(e) for e in node.partition_by)
+            okeys = tuple(SortKey(as_col(e), asc=asc)
+                          for e, asc in node.order_by)
+            col_arg = None
+            offset, param, default_expr = 1, None, None
+            if fn == "ntile":
+                param = int(fold_const(node.func.args[0]).value)
+            elif fn in ("lag", "lead"):
+                col_arg = as_col(node.func.args[0])
+                if len(node.func.args) > 1:
+                    offset = int(fold_const(node.func.args[1]).value)
+                if len(node.func.args) > 2:
+                    default_expr = self._bind_with_agg_refs(
+                        fold_const(node.func.args[2]), b)
+            elif fn in ("first_value", "last_value", "sum", "min", "max",
+                        "avg"):
+                col_arg = as_col(node.func.args[0])
+            elif fn == "count" and not node.func.star and node.func.args:
+                col_arg = as_col(node.func.args[0])
+            running = peers = False
+            if node.frame is not None:
+                kind, end = node.frame
+                if end == "current":
+                    running, peers = True, kind == "range"
+            elif (fn in ("sum", "min", "max", "avg", "count", "last_value")
+                  and node.order_by):
+                # SQL default frame with ORDER BY:
+                # RANGE UNBOUNDED PRECEDING .. CURRENT ROW
+                running, peers = True, True
+            out = _gen("win")
+            spec = WindowSpec(fn, col_arg, out, running=running, peers=peers,
+                              offset=offset, param=param)
+            groups.setdefault((pnames, okeys), []).append(spec)
+            expr: E.Expr = E.col(out)
+            if default_expr is not None:
+                expr = E.Coalesce([expr, default_expr])
+            self._win_map[id(node)] = expr
+
+        plan = stream.plan
+        if pre_cols:
+            plan = AddColumns(plan, pre_cols)
+        for (pnames, okeys), specs in groups.items():
+            plan = Window(plan, pnames, okeys, tuple(specs))
+        return dataclasses.replace(stream, plan=plan)
+
     def _est_groups(self, stream: Relation, group_by) -> int:
         est = 1
         for g in group_by:
@@ -1052,6 +1256,9 @@ class Planner:
         return int(min(max(est, 16), max(stream.size, 16)))
 
     def _bind_with_agg_refs(self, node: ast.Node, binder: Binder) -> E.Expr:
+        wmap = getattr(self, "_win_map", {})
+        if id(node) in wmap:
+            return wmap[id(node)]
         amap = getattr(self, "_agg_map", {})
         if id(node) in amap:
             entry = amap[id(node)]

@@ -72,3 +72,65 @@ def test_window_no_partition():
     ]).to_pandas()
     assert list(out.rn) == [3, 1, 2]
     assert list(out.run) == [6, 1, 3]
+
+
+def test_navigation_functions(data):
+    df, t = data
+    out = window(t, ["p"], [SortKey("o"), SortKey("v")], [
+        WindowSpec("lag", "v", "lg"),
+        WindowSpec("lead", "v", "ld", offset=2),
+        WindowSpec("first_value", "v", "fv"),
+        WindowSpec("last_value", "v", "lv"),
+    ]).to_pandas()
+    df2 = df.reset_index().sort_values(["p", "o", "v", "index"], kind="stable")
+    g = df2.groupby("p")
+    df2["lg"] = g.v.shift(1)
+    df2["ld"] = g.v.shift(-2)
+    df2["fv"] = g.v.transform("first")
+    df2["lv"] = g.v.transform("last")
+    back = df2.sort_values("index")
+    for c in ("lg", "ld"):
+        w = back[c].to_numpy()
+        got = out[c].to_numpy()
+        nulls = pd.isna(w)
+        assert (pd.isna(got) == nulls).all()
+        assert (got[~nulls].astype(np.int64) == w[~nulls].astype(np.int64)).all()
+    np.testing.assert_array_equal(out.fv, back.fv)
+    np.testing.assert_array_equal(out.lv, back.lv)
+
+
+def test_rank_distribution_functions(data):
+    df, t = data
+    out = window(t, ["p"], [SortKey("o")], [
+        WindowSpec("percent_rank", None, "pr"),
+        WindowSpec("cume_dist", None, "cd"),
+        WindowSpec("ntile", None, "nt", param=4),
+    ]).to_pandas()
+    want_pr = df.groupby("p").o.rank(method="min").sub(1) / \
+        df.groupby("p").o.transform("size").sub(1).clip(lower=1)
+    np.testing.assert_allclose(out.pr, want_pr, rtol=1e-12)
+    want_cd = df.groupby("p").o.rank(method="max") / \
+        df.groupby("p").o.transform("size")
+    np.testing.assert_allclose(out.cd, want_cd, rtol=1e-12)
+    # ntile: bucket sizes within each partition differ by at most one and
+    # are ordered
+    chk = pd.DataFrame({"p": df.p, "o": df.o, "nt": out.nt})
+    for p, grp in chk.groupby("p"):
+        sizes = grp.nt.value_counts()
+        assert sizes.max() - sizes.min() <= 1
+        s = grp.sort_values(["o"], kind="stable")
+        assert (np.diff(s.nt) >= 0).all()
+
+
+def test_range_frame_running_sum(data):
+    df, t = data
+    out = window(t, ["p"], [SortKey("o")], [
+        WindowSpec("sum", "v", "rs", running=True, peers=True),
+    ]).to_pandas()
+    # RANGE UNBOUNDED PRECEDING: ties on o share the summed value
+    df2 = df.reset_index().sort_values(["p", "o", "index"], kind="stable")
+    df2["cs"] = df2.groupby("p").v.cumsum()
+    peer_last = df2.groupby(["p", "o"]).cs.transform("last")
+    df2["rs"] = peer_last
+    want = df2.sort_values("index").rs.to_numpy()
+    np.testing.assert_array_equal(out.rs, want)
