@@ -243,8 +243,17 @@ class Compare(Expr):
         b = right.eval(table)
         if a.dtype.is_string and b.dtype.is_string:
             if a.dict_id != b.dict_id:
-                raise NotImplementedError("cross-dict string compare")
-            data = self._OPS[self.op](a.data, b.data)
+                # remap both onto their union dictionary's rank space
+                # (dictionaries are trace-time host metadata; sorted dicts
+                # make rank order == string order)
+                va = dt.dict_values(a.dict_id)
+                vb = dt.dict_values(b.dict_id)
+                union = np.unique(np.concatenate([va, vb]))
+                la = jnp.asarray(np.searchsorted(union, va).astype(np.int32))
+                lb = jnp.asarray(np.searchsorted(union, vb).astype(np.int32))
+                data = self._OPS[self.op](la[a.data], lb[b.data])
+            else:
+                data = self._OPS[self.op](a.data, b.data)
         else:
             da, db, _, _ = _numeric_pair(a, b)
             data = self._OPS[self.op](da, db)
@@ -450,34 +459,79 @@ def civil_from_days(days):
     return year.astype(jnp.int32), m.astype(jnp.int32), d.astype(jnp.int32)
 
 
+class NullValue(Expr):
+    """Untyped NULL literal (CASE ... ELSE NULL / THEN NULL). Only CASE can
+    evaluate it — the result type comes from the sibling branches."""
+
+    def eval(self, table: Table) -> Column:
+        raise TypeError("untyped NULL literal outside CASE")
+
+
 @dataclasses.dataclass(eq=False)
 class Case(Expr):
-    """CASE WHEN cond THEN val ... ELSE default END."""
+    """CASE WHEN cond THEN val ... ELSE default END.
+
+    Branch values (or the default) may be NullValue — those rows are NULL of
+    the common branch type."""
     branches: list   # [(cond_expr, value_expr), ...]
     default: Expr
 
     def eval(self, table: Table) -> Column:
-        dflt = self.default.eval(table)
-        evaled = [(c.eval(table), v.eval(table)) for c, v in self.branches]
-        # common type: decimals rescale to max scale, else first value's type
-        out_dtype = dflt.dtype
-        for _, v in evaled:
-            if v.dtype.is_decimal and (not out_dtype.is_decimal or v.dtype.scale > out_dtype.scale):
+        def ev(e):
+            return None if isinstance(e, NullValue) else e.eval(table)
+
+        dflt = ev(self.default)
+        evaled = [(c.eval(table), ev(v)) for c, v in self.branches]
+        # common type: decimals rescale to max scale; float wins over int;
+        # otherwise the first typed value's type
+        vals = [v for _, v in evaled if v is not None]
+        if dflt is not None:
+            vals.append(dflt)
+        if not vals:
+            raise TypeError("CASE with all-NULL branches")
+        out_dtype = vals[0].dtype
+        dict_id = vals[0].dict_id
+        for v in vals:
+            if v.dtype.is_decimal and (not out_dtype.is_decimal
+                                       or v.dtype.scale > out_dtype.scale):
                 out_dtype = v.dtype
+            elif (jnp.issubdtype(v.data.dtype, jnp.floating)
+                  and not out_dtype.is_decimal
+                  and not jnp.issubdtype(jnp.dtype(out_dtype.jnp_dtype),
+                                         jnp.floating)):
+                from starrocks_tpu.column.dtypes import FLOAT64
+                out_dtype = FLOAT64
+            if v.dtype.is_string and v.dict_id != dict_id:
+                raise NotImplementedError(
+                    "CASE over string columns with different dictionaries")
+
         def conv(c: Column):
             if out_dtype.is_decimal:
                 return _as_scale(c, out_dtype.scale)
             return c.data.astype(out_dtype.jnp_dtype)
-        data = conv(dflt)
-        valid = dflt.valid
+
+        n = table.nrows
+        if dflt is None:
+            data = jnp.zeros((n,), jnp.dtype(out_dtype.jnp_dtype))
+            valid = jnp.zeros((n,), jnp.bool_)
+        else:
+            data = conv(dflt)
+            valid = dflt.valid
         for cond, val in reversed(evaled):
             cmask = cond.data & cond.validity() if cond.valid is not None else cond.data
+            if val is None:
+                data = jnp.where(cmask, jnp.zeros((), data.dtype), data)
+                valid = jnp.where(
+                    cmask, False,
+                    jnp.ones_like(cmask) if valid is None else valid)
+                continue
             data = jnp.where(cmask, conv(val), data)
             if val.valid is not None or valid is not None:
                 vv = val.validity()
                 ov = jnp.ones_like(cmask) if valid is None else valid
                 valid = jnp.where(cmask, vv, ov)
-        return Column(data, valid, out_dtype)
+        return Column(data, valid, out_dtype,
+                      dict_id if out_dtype.is_string else 0)
 
 
 @dataclasses.dataclass(eq=False)

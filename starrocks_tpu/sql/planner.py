@@ -397,9 +397,9 @@ class Binder:
             return E.IsNull(self.bind(node.expr), negate=node.negated)
         if isinstance(node, ast.CaseExpr):
             branches = [(self.bind(c), self.bind(v)) for c, v in node.branches]
-            if node.default is None:
-                raise NotImplementedError("CASE without ELSE")
-            return E.Case(branches, self.bind(node.default))
+            default = (E.NullValue() if node.default is None
+                       else self.bind(node.default))
+            return E.Case(branches, default)
         if isinstance(node, ast.Func):
             return self.bind_func(node)
         raise NotImplementedError(f"cannot bind {type(node).__name__}")
@@ -409,6 +409,8 @@ class Binder:
                  "bool": dt.BOOL}
         if node.kind == "decimal":
             return E.Literal(node.value, dt.DECIMAL(node.scale))
+        if node.kind == "null":
+            return E.NullValue()
         if node.kind in kinds:
             return E.Literal(node.value, kinds[node.kind])
         raise NotImplementedError(f"literal kind {node.kind}")
@@ -416,7 +418,7 @@ class Binder:
     def bind_func(self, node: ast.Func) -> E.Expr:
         if node.name == "year":
             return E.ExtractYear(self.bind(node.args[0]))
-        if node.name == "substring":
+        if node.name in ("substring", "substr"):
             a1, a2 = fold_const(node.args[1]), fold_const(node.args[2])
             return E.substring(self.bind(node.args[0]), a1.value, a2.value)
         if node.name == "coalesce":
