@@ -111,7 +111,12 @@ class Literal(Expr):
     def eval(self, table: Table) -> Column:
         n = table.nrows
         if self.dtype.is_string:
-            raise ValueError("bare string literal must be bound to a dict column")
+            # materialize as a constant dict column (single-entry dictionary;
+            # the global-dict analog keeps all string compute on int codes)
+            codes, did = dt.dict_encode(np.array([self.value], dtype=object))
+            data = jnp.zeros((n,), jnp.int32)
+            return Column(data=data, valid=None, dtype=self.dtype,
+                          dict_id=did, vrange=(0, 0))
         data = jnp.full((n,), self.value, self.dtype.jnp_dtype)
         return Column(data=data, valid=None, dtype=self.dtype)
 
@@ -554,11 +559,20 @@ class Coalesce(Expr):
 
     def eval(self, table: Table) -> Column:
         cols = [e.eval(table) for e in self.exprs]
+        if cols[0].dtype.is_string:
+            # remap all branches onto a union dictionary (host metadata)
+            union = np.unique(np.concatenate(
+                [dt.dict_values(c.dict_id) for c in cols]))
+            did = dt.register_dict(union)
+            cols = [Column(jnp.asarray(np.searchsorted(
+                        union, dt.dict_values(c.dict_id)).astype(np.int32)
+                        )[c.data], c.valid, c.dtype, did)
+                    for c in cols]
         out = cols[-1]
         data, valid = out.data, out.validity()
         for c in reversed(cols[:-1]):
             cv = c.validity()
             data = jnp.where(cv, c.data.astype(data.dtype), data)
             valid = cv | valid
-        all_valid = all(c.valid is None for c in cols[:1])  # first non-null always wins
-        return Column(data, None if cols[0].valid is None else valid, out.dtype)
+        return Column(data, None if cols[0].valid is None else valid,
+                      out.dtype, cols[0].dict_id)

@@ -67,7 +67,7 @@ class Parser:
         return stmt
 
     def parse_compound(self):
-        left = self.parse_select()
+        left = self.parse_setop_operand()
         while True:
             kind = None
             if self.kw("union"):
@@ -77,12 +77,43 @@ class Parser:
             elif self.kw("except"):
                 kind = "except"
             if kind is None:
-                return left
-            right = self.parse_select()
-            # ORDER BY / LIMIT after the last select belong to the compound
-            order_by, limit = right.order_by, right.limit
-            right.order_by, right.limit = [], None
+                break
+            right = self.parse_setop_operand()
+            if isinstance(right, ast.SelectStmt):
+                # ORDER BY / LIMIT after the last select belong to the compound
+                order_by, limit = right.order_by, right.limit
+                right.order_by, right.limit = [], None
+            else:
+                order_by, limit = [], None
             left = ast.SetOpStmt(kind, left, right, order_by, limit)
+        if isinstance(left, ast.SetOpStmt) and not left.order_by:
+            # compound-level ORDER BY / LIMIT after a parenthesized operand
+            if self.kw("order"):
+                self.expect("KEYWORD", "by")
+                while True:
+                    e = self.parse_expr()
+                    asc = not self.kw("desc")
+                    if asc:
+                        self.kw("asc")
+                    left.order_by.append((e, asc))
+                    if not self.accept("SYMBOL", ","):
+                        break
+            if left.limit is None and self.kw("limit"):
+                left.limit = int(self.expect("NUMBER").value)
+        return left
+
+    def parse_setop_operand(self):
+        """A set-op operand: SELECT ... or a parenthesized compound."""
+        t = self.peek()
+        if t.kind == "SYMBOL" and t.value == "(":
+            t1 = self.peek(1)
+            if ((t1.kind == "KEYWORD" and t1.value in ("select", "with"))
+                    or (t1.kind == "SYMBOL" and t1.value == "(")):
+                self.next()
+                q = self.parse_compound()
+                self.expect("SYMBOL", ")")
+                return q
+        return self.parse_select()
 
     def parse_select(self) -> ast.SelectStmt:
         self.expect("KEYWORD", "select")

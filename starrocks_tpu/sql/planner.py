@@ -538,6 +538,18 @@ class Planner:
                 left_joins.append((jc, r))
             else:
                 raise NotImplementedError(jc.kind)
+        # outer-join simplification: a null-rejecting WHERE conjunct on the
+        # null-extended side converts LEFT JOIN to INNER (the reference's
+        # OuterJoinEliminationRule analog) — q93's `sr_x = r_x` shape
+        if left_joins and where is not None:
+            for jc, r in list(left_joins):
+                if jc.kind != "left_outer":
+                    continue
+                if any(self._null_rejecting_on(c, r) for c in conjuncts(where)):
+                    left_joins.remove((jc, r))
+                    rels.append(r)
+                    if jc.on is not None:
+                        where = ast.BinOp("and", where, jc.on)
         scope = Scope(rels + [r for _, r in left_joins], parent=outer_scope)
 
         # classify conjuncts (after OR-factoring)
@@ -577,6 +589,21 @@ class Planner:
             stream = self.apply_subquery_pred(stream, c, outer_scope,
                                               bind_fn=None)
         return self._finish(stmt, stream, outer_scope)
+
+    def _null_rejecting_on(self, c: ast.Node, rel: Relation) -> bool:
+        """True if conjunct c references rel and evaluates to non-TRUE when
+        rel's columns are NULL (so an outer join can become inner)."""
+        refs = any(rel.lookup(col) is not None for col in collect_cols(c))
+        if not refs:
+            return False
+        if isinstance(c, ast.BinOp) and c.op in ("=", "<>", "<", "<=", ">",
+                                                 ">="):
+            return True
+        if isinstance(c, (ast.BetweenExpr, ast.InList, ast.LikeExpr)):
+            return True
+        if isinstance(c, ast.IsNullExpr) and c.negated:
+            return True
+        return False
 
     def _rels_of(self, node, rels, scope: Scope) -> set[int]:
         idxs = set()
@@ -879,6 +906,18 @@ class Planner:
 
     # -- aggregation & output -----------------------------------------------------
     def _finish(self, stmt: ast.SelectStmt, stream: Relation, outer_scope) -> Relation:
+        if stmt.star and not stmt.items:
+            # expand SELECT * from the stream's name maps (in relation order,
+            # first-binding wins for duplicated unqualified names)
+            items, seen = [], set()
+            for alias, m in stream.maps.items():
+                for sql in m:
+                    if sql in seen:
+                        continue
+                    seen.add(sql)
+                    items.append(ast.SelectItem(
+                        ast.Col(sql, qualifier=alias), sql))
+            stmt = dataclasses.replace(stmt, items=items, star=False)
         scope = Scope([stream], parent=outer_scope)
         agg_nodes: list[ast.Func] = []
         for it in stmt.items:

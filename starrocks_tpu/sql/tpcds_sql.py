@@ -296,6 +296,748 @@ order by i_item_id
 limit 100
 """
 
+QUERIES["q21"] = """
+select *
+from (select w_warehouse_name, i_item_id,
+             sum(case when d_date < date '2000-03-11'
+                      then inv_quantity_on_hand else 0 end) as inv_before,
+             sum(case when d_date >= date '2000-03-11'
+                      then inv_quantity_on_hand else 0 end) as inv_after
+      from inventory, warehouse, item, date_dim
+      where i_current_price between 0.99 and 1.49
+        and i_item_sk = inv_item_sk
+        and inv_warehouse_sk = w_warehouse_sk
+        and inv_date_sk = d_date_sk
+        and d_date between (date '2000-03-11' - interval '30' day)
+                       and (date '2000-03-11' + interval '30' day)
+      group by w_warehouse_name, i_item_id) x
+where (case when inv_before > 0 then 1.0 * inv_after / inv_before
+            else null end) between 2.0 / 3.0 and 3.0 / 2.0
+order by w_warehouse_name, i_item_id
+limit 100
+"""
+
+QUERIES["q22"] = """
+select i_product_name, i_brand, i_class, i_category,
+       avg(inv_quantity_on_hand) qoh
+from inventory, date_dim, item
+where inv_date_sk = d_date_sk
+  and inv_item_sk = i_item_sk
+  and d_month_seq between 1200 and 1200 + 11
+group by rollup(i_product_name, i_brand, i_class, i_category)
+order by qoh, i_product_name, i_brand, i_class, i_category
+limit 100
+"""
+GOLDEN_OVERRIDES["q22"] = """
+select i_product_name, i_brand, i_class, i_category, qoh from (
+  select i_product_name, i_brand, i_class, i_category,
+         avg(inv_quantity_on_hand) qoh
+  from inventory, date_dim, item
+  where inv_date_sk = d_date_sk and inv_item_sk = i_item_sk
+    and d_month_seq between 1200 and 1211
+  group by i_product_name, i_brand, i_class, i_category
+  union all
+  select i_product_name, i_brand, i_class, null, avg(inv_quantity_on_hand)
+  from inventory, date_dim, item
+  where inv_date_sk = d_date_sk and inv_item_sk = i_item_sk
+    and d_month_seq between 1200 and 1211
+  group by i_product_name, i_brand, i_class
+  union all
+  select i_product_name, i_brand, null, null, avg(inv_quantity_on_hand)
+  from inventory, date_dim, item
+  where inv_date_sk = d_date_sk and inv_item_sk = i_item_sk
+    and d_month_seq between 1200 and 1211
+  group by i_product_name, i_brand
+  union all
+  select i_product_name, null, null, null, avg(inv_quantity_on_hand)
+  from inventory, date_dim, item
+  where inv_date_sk = d_date_sk and inv_item_sk = i_item_sk
+    and d_month_seq between 1200 and 1211
+  group by i_product_name
+  union all
+  select null, null, null, null, avg(inv_quantity_on_hand)
+  from inventory, date_dim, item
+  where inv_date_sk = d_date_sk and inv_item_sk = i_item_sk
+    and d_month_seq between 1200 and 1211
+) t
+order by qoh, i_product_name, i_brand, i_class, i_category
+limit 100
+"""
+
+QUERIES["q25"] = """
+select i_item_id, i_item_desc, s_store_id, s_store_name,
+       sum(ss_net_profit) as store_sales_profit,
+       sum(sr_net_loss) as store_returns_loss,
+       sum(cs_net_profit) as catalog_sales_profit
+from store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+     date_dim d3, store, item
+where d1.d_moy = 4
+  and d1.d_year = 2001
+  and d1.d_date_sk = ss_sold_date_sk
+  and i_item_sk = ss_item_sk
+  and s_store_sk = ss_store_sk
+  and ss_customer_sk = sr_customer_sk
+  and ss_item_sk = sr_item_sk
+  and ss_ticket_number = sr_ticket_number
+  and sr_returned_date_sk = d2.d_date_sk
+  and d2.d_moy between 4 and 10
+  and d2.d_year = 2001
+  and sr_customer_sk = cs_bill_customer_sk
+  and sr_item_sk = cs_item_sk
+  and cs_sold_date_sk = d3.d_date_sk
+  and d3.d_moy between 4 and 10
+  and d3.d_year = 2001
+group by i_item_id, i_item_desc, s_store_id, s_store_name
+order by i_item_id, i_item_desc, s_store_id, s_store_name
+limit 100
+"""
+
+QUERIES["q27"] = """
+select i_item_id, s_state, grouping(s_state) g_state,
+       avg(ss_quantity) agg1, avg(ss_list_price) agg2,
+       avg(ss_coupon_amt) agg3, avg(ss_sales_price) agg4
+from store_sales, customer_demographics, date_dim, store, item
+where ss_sold_date_sk = d_date_sk
+  and ss_item_sk = i_item_sk
+  and ss_store_sk = s_store_sk
+  and ss_cdemo_sk = cd_demo_sk
+  and cd_gender = 'M'
+  and cd_marital_status = 'S'
+  and cd_education_status = 'College'
+  and d_year = 2002
+  and s_state in ('TN', 'TN', 'TN', 'TN', 'TN', 'TN')
+group by rollup (i_item_id, s_state)
+order by i_item_id, s_state
+limit 100
+"""
+GOLDEN_OVERRIDES["q27"] = """
+select i_item_id, s_state, g_state, agg1, agg2, agg3, agg4 from (
+  select i_item_id, s_state, 0 g_state, avg(ss_quantity) agg1,
+         avg(ss_list_price) agg2, avg(ss_coupon_amt) agg3,
+         avg(ss_sales_price) agg4
+  from store_sales, customer_demographics, date_dim, store, item
+  where ss_sold_date_sk = d_date_sk and ss_item_sk = i_item_sk
+    and ss_store_sk = s_store_sk and ss_cdemo_sk = cd_demo_sk
+    and cd_gender = 'M' and cd_marital_status = 'S'
+    and cd_education_status = 'College' and d_year = 2002
+    and s_state = 'TN'
+  group by i_item_id, s_state
+  union all
+  select i_item_id, null, 1, avg(ss_quantity), avg(ss_list_price),
+         avg(ss_coupon_amt), avg(ss_sales_price)
+  from store_sales, customer_demographics, date_dim, store, item
+  where ss_sold_date_sk = d_date_sk and ss_item_sk = i_item_sk
+    and ss_store_sk = s_store_sk and ss_cdemo_sk = cd_demo_sk
+    and cd_gender = 'M' and cd_marital_status = 'S'
+    and cd_education_status = 'College' and d_year = 2002
+    and s_state = 'TN'
+  group by i_item_id
+  union all
+  select null, null, 1, avg(ss_quantity), avg(ss_list_price),
+         avg(ss_coupon_amt), avg(ss_sales_price)
+  from store_sales, customer_demographics, date_dim, store, item
+  where ss_sold_date_sk = d_date_sk and ss_item_sk = i_item_sk
+    and ss_store_sk = s_store_sk and ss_cdemo_sk = cd_demo_sk
+    and cd_gender = 'M' and cd_marital_status = 'S'
+    and cd_education_status = 'College' and d_year = 2002
+    and s_state = 'TN'
+) t
+order by i_item_id, s_state
+limit 100
+"""
+
+QUERIES["q29"] = """
+select i_item_id, i_item_desc, s_store_id, s_store_name,
+       sum(ss_quantity) as store_sales_quantity,
+       sum(sr_return_quantity) as store_returns_quantity,
+       sum(cs_quantity) as catalog_sales_quantity
+from store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+     date_dim d3, store, item
+where d1.d_moy = 9
+  and d1.d_year = 1999
+  and d1.d_date_sk = ss_sold_date_sk
+  and i_item_sk = ss_item_sk
+  and s_store_sk = ss_store_sk
+  and ss_customer_sk = sr_customer_sk
+  and ss_item_sk = sr_item_sk
+  and ss_ticket_number = sr_ticket_number
+  and sr_returned_date_sk = d2.d_date_sk
+  and d2.d_moy between 9 and 9 + 3
+  and d2.d_year = 1999
+  and sr_customer_sk = cs_bill_customer_sk
+  and sr_item_sk = cs_item_sk
+  and cs_sold_date_sk = d3.d_date_sk
+  and d3.d_year in (1999, 1999 + 1, 1999 + 2)
+group by i_item_id, i_item_desc, s_store_id, s_store_name
+order by i_item_id, i_item_desc, s_store_id, s_store_name
+limit 100
+"""
+
+QUERIES["q32"] = """
+select sum(cs_ext_discount_amt) as excess_discount_amount
+from catalog_sales, item, date_dim
+where i_manufact_id = 269
+  and i_item_sk = cs_item_sk
+  and d_date between date '2000-01-27'
+                 and (date '2000-01-27' + interval '90' day)
+  and d_date_sk = cs_sold_date_sk
+  and cs_ext_discount_amt > (select 1.3 * avg(cs_ext_discount_amt)
+                             from catalog_sales, date_dim
+                             where cs_item_sk = i_item_sk
+                               and d_date between date '2000-01-27'
+                                   and (date '2000-01-27' + interval '90' day)
+                               and d_date_sk = cs_sold_date_sk)
+limit 100
+"""
+
+QUERIES["q33"] = """
+with ss as (
+  select i_manufact_id, sum(ss_ext_sales_price) total_sales
+  from store_sales, date_dim, customer_address, item
+  where i_manufact_id in (select i_manufact_id from item
+                          where i_category in ('Books'))
+    and ss_item_sk = i_item_sk
+    and ss_sold_date_sk = d_date_sk
+    and d_year = 1999
+    and d_moy = 3
+    and ss_addr_sk = ca_address_sk
+    and ca_gmt_offset = -5
+  group by i_manufact_id),
+cs as (
+  select i_manufact_id, sum(cs_ext_sales_price) total_sales
+  from catalog_sales, date_dim, customer_address, item
+  where i_manufact_id in (select i_manufact_id from item
+                          where i_category in ('Books'))
+    and cs_item_sk = i_item_sk
+    and cs_sold_date_sk = d_date_sk
+    and d_year = 1999
+    and d_moy = 3
+    and cs_bill_addr_sk = ca_address_sk
+    and ca_gmt_offset = -5
+  group by i_manufact_id),
+ws as (
+  select i_manufact_id, sum(ws_ext_sales_price) total_sales
+  from web_sales, date_dim, customer_address, item
+  where i_manufact_id in (select i_manufact_id from item
+                          where i_category in ('Books'))
+    and ws_item_sk = i_item_sk
+    and ws_sold_date_sk = d_date_sk
+    and d_year = 1999
+    and d_moy = 3
+    and ws_bill_addr_sk = ca_address_sk
+    and ca_gmt_offset = -5
+  group by i_manufact_id)
+select i_manufact_id, sum(total_sales) total_sales
+from (select * from ss
+      union all
+      select * from cs
+      union all
+      select * from ws) tmp1
+group by i_manufact_id
+order by total_sales
+limit 100
+"""
+
+QUERIES["q38"] = """
+select count(*)
+from (select distinct c_last_name, c_first_name, d_date
+      from store_sales, date_dim, customer
+      where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        and store_sales.ss_customer_sk = customer.c_customer_sk
+        and d_month_seq between 1200 and 1200 + 11
+      intersect
+      select distinct c_last_name, c_first_name, d_date
+      from catalog_sales, date_dim, customer
+      where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+        and d_month_seq between 1200 and 1200 + 11
+      intersect
+      select distinct c_last_name, c_first_name, d_date
+      from web_sales, date_dim, customer
+      where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+        and d_month_seq between 1200 and 1200 + 11
+) hot_cust
+limit 100
+"""
+
+QUERIES["q40"] = """
+select w_state, i_item_id,
+       sum(case when d_date < date '2000-03-11'
+                then cs_sales_price - coalesce(cr_refunded_cash, 0)
+                else 0 end) as sales_before,
+       sum(case when d_date >= date '2000-03-11'
+                then cs_sales_price - coalesce(cr_refunded_cash, 0)
+                else 0 end) as sales_after
+from catalog_sales
+     left outer join catalog_returns
+     on (cs_order_number = cr_order_number and cs_item_sk = cr_item_sk),
+     warehouse, item, date_dim
+where i_current_price between 0.99 and 1.49
+  and i_item_sk = cs_item_sk
+  and cs_warehouse_sk = w_warehouse_sk
+  and cs_sold_date_sk = d_date_sk
+  and d_date between (date '2000-03-11' - interval '30' day)
+                 and (date '2000-03-11' + interval '30' day)
+group by w_state, i_item_id
+order by w_state, i_item_id
+limit 100
+"""
+
+QUERIES["q48"] = """
+select sum(ss_quantity)
+from store_sales, store, customer_demographics, customer_address, date_dim
+where s_store_sk = ss_store_sk
+  and ss_sold_date_sk = d_date_sk
+  and d_year = 2000
+  and ((cd_demo_sk = ss_cdemo_sk
+        and cd_marital_status = 'M'
+        and cd_education_status = '4 yr Degree'
+        and ss_sales_price between 100.00 and 150.00)
+    or (cd_demo_sk = ss_cdemo_sk
+        and cd_marital_status = 'D'
+        and cd_education_status = '2 yr Degree'
+        and ss_sales_price between 50.00 and 100.00)
+    or (cd_demo_sk = ss_cdemo_sk
+        and cd_marital_status = 'S'
+        and cd_education_status = 'College'
+        and ss_sales_price between 150.00 and 200.00))
+  and ((ss_addr_sk = ca_address_sk
+        and ca_country = 'United States'
+        and ca_state in ('CO', 'OH', 'TX')
+        and ss_net_profit between 0 and 2000)
+    or (ss_addr_sk = ca_address_sk
+        and ca_country = 'United States'
+        and ca_state in ('OR', 'MN', 'KY')
+        and ss_net_profit between 150 and 3000)
+    or (ss_addr_sk = ca_address_sk
+        and ca_country = 'United States'
+        and ca_state in ('VA', 'CA', 'MS')
+        and ss_net_profit between 50 and 25000))
+"""
+
+QUERIES["q50"] = """
+select s_store_name, s_company_id, s_street_number, s_street_name,
+       s_street_type, s_suite_number, s_city, s_county, s_state, s_zip,
+       sum(case when (sr_returned_date_sk - ss_sold_date_sk <= 30)
+                then 1 else 0 end) as d30,
+       sum(case when (sr_returned_date_sk - ss_sold_date_sk > 30)
+                 and (sr_returned_date_sk - ss_sold_date_sk <= 60)
+                then 1 else 0 end) as d31_60,
+       sum(case when (sr_returned_date_sk - ss_sold_date_sk > 60)
+                 and (sr_returned_date_sk - ss_sold_date_sk <= 90)
+                then 1 else 0 end) as d61_90,
+       sum(case when (sr_returned_date_sk - ss_sold_date_sk > 90)
+                 and (sr_returned_date_sk - ss_sold_date_sk <= 120)
+                then 1 else 0 end) as d91_120,
+       sum(case when (sr_returned_date_sk - ss_sold_date_sk > 120)
+                then 1 else 0 end) as dgt120
+from store_sales, store_returns, store, date_dim d1, date_dim d2
+where d2.d_year = 2001
+  and d2.d_moy = 8
+  and ss_ticket_number = sr_ticket_number
+  and ss_item_sk = sr_item_sk
+  and ss_sold_date_sk = d1.d_date_sk
+  and sr_returned_date_sk = d2.d_date_sk
+  and ss_customer_sk = sr_customer_sk
+  and ss_store_sk = s_store_sk
+group by s_store_name, s_company_id, s_street_number, s_street_name,
+         s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+order by s_store_name, s_company_id, s_street_number, s_street_name,
+         s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+limit 100
+"""
+
+QUERIES["q56"] = """
+with ss as (
+  select i_item_id, sum(ss_ext_sales_price) total_sales
+  from store_sales, date_dim, customer_address, item
+  where i_item_id in (select i_item_id from item
+                      where i_color in ('slate', 'blanched', 'burnished'))
+    and ss_item_sk = i_item_sk
+    and ss_sold_date_sk = d_date_sk
+    and d_year = 2001
+    and d_moy = 2
+    and ss_addr_sk = ca_address_sk
+    and ca_gmt_offset = -5
+  group by i_item_id),
+cs as (
+  select i_item_id, sum(cs_ext_sales_price) total_sales
+  from catalog_sales, date_dim, customer_address, item
+  where i_item_id in (select i_item_id from item
+                      where i_color in ('slate', 'blanched', 'burnished'))
+    and cs_item_sk = i_item_sk
+    and cs_sold_date_sk = d_date_sk
+    and d_year = 2001
+    and d_moy = 2
+    and cs_bill_addr_sk = ca_address_sk
+    and ca_gmt_offset = -5
+  group by i_item_id),
+ws as (
+  select i_item_id, sum(ws_ext_sales_price) total_sales
+  from web_sales, date_dim, customer_address, item
+  where i_item_id in (select i_item_id from item
+                      where i_color in ('slate', 'blanched', 'burnished'))
+    and ws_item_sk = i_item_sk
+    and ws_sold_date_sk = d_date_sk
+    and d_year = 2001
+    and d_moy = 2
+    and ws_bill_addr_sk = ca_address_sk
+    and ca_gmt_offset = -5
+  group by i_item_id)
+select i_item_id, sum(total_sales) total_sales
+from (select * from ss
+      union all
+      select * from cs
+      union all
+      select * from ws) tmp1
+group by i_item_id
+order by total_sales, i_item_id
+limit 100
+"""
+
+QUERIES["q60"] = """
+with ss as (
+  select i_item_id, sum(ss_ext_sales_price) total_sales
+  from store_sales, date_dim, customer_address, item
+  where i_item_id in (select i_item_id from item where i_category in ('Music'))
+    and ss_item_sk = i_item_sk
+    and ss_sold_date_sk = d_date_sk
+    and d_year = 1998
+    and d_moy = 9
+    and ss_addr_sk = ca_address_sk
+    and ca_gmt_offset = -5
+  group by i_item_id),
+cs as (
+  select i_item_id, sum(cs_ext_sales_price) total_sales
+  from catalog_sales, date_dim, customer_address, item
+  where i_item_id in (select i_item_id from item where i_category in ('Music'))
+    and cs_item_sk = i_item_sk
+    and cs_sold_date_sk = d_date_sk
+    and d_year = 1998
+    and d_moy = 9
+    and cs_bill_addr_sk = ca_address_sk
+    and ca_gmt_offset = -5
+  group by i_item_id),
+ws as (
+  select i_item_id, sum(ws_ext_sales_price) total_sales
+  from web_sales, date_dim, customer_address, item
+  where i_item_id in (select i_item_id from item where i_category in ('Music'))
+    and ws_item_sk = i_item_sk
+    and ws_sold_date_sk = d_date_sk
+    and d_year = 1998
+    and d_moy = 9
+    and ws_bill_addr_sk = ca_address_sk
+    and ca_gmt_offset = -5
+  group by i_item_id)
+select i_item_id, sum(total_sales) total_sales
+from (select * from ss
+      union all
+      select * from cs
+      union all
+      select * from ws) tmp1
+group by i_item_id
+order by i_item_id, total_sales
+limit 100
+"""
+
+QUERIES["q65"] = """
+select s_store_name, i_item_desc, sc.revenue, i_current_price,
+       i_wholesale_cost, i_brand
+from store, item,
+     (select ss_store_sk, avg(revenue) as ave
+      from (select ss_store_sk, ss_item_sk, sum(ss_sales_price) as revenue
+            from store_sales, date_dim
+            where ss_sold_date_sk = d_date_sk
+              and d_month_seq between 1176 and 1176 + 11
+            group by ss_store_sk, ss_item_sk) sa
+      group by ss_store_sk) sb,
+     (select ss_store_sk, ss_item_sk, sum(ss_sales_price) as revenue
+      from store_sales, date_dim
+      where ss_sold_date_sk = d_date_sk
+        and d_month_seq between 1176 and 1176 + 11
+      group by ss_store_sk, ss_item_sk) sc
+where sb.ss_store_sk = sc.ss_store_sk
+  and sc.revenue <= 0.1 * sb.ave
+  and s_store_sk = sc.ss_store_sk
+  and i_item_sk = sc.ss_item_sk
+order by s_store_name, i_item_desc
+limit 100
+"""
+
+QUERIES["q71"] = """
+select i_brand_id brand_id, i_brand brand, t_hour, t_minute,
+       sum(ext_price) ext_price
+from item,
+     (select ws_ext_sales_price as ext_price,
+             ws_sold_date_sk as sold_date_sk,
+             ws_item_sk as sold_item_sk,
+             ws_sold_time_sk as time_sk
+      from web_sales, date_dim
+      where d_date_sk = ws_sold_date_sk and d_moy = 11 and d_year = 1999
+      union all
+      select cs_ext_sales_price as ext_price,
+             cs_sold_date_sk as sold_date_sk,
+             cs_item_sk as sold_item_sk,
+             cs_sold_time_sk as time_sk
+      from catalog_sales, date_dim
+      where d_date_sk = cs_sold_date_sk and d_moy = 11 and d_year = 1999
+      union all
+      select ss_ext_sales_price as ext_price,
+             ss_sold_date_sk as sold_date_sk,
+             ss_item_sk as sold_item_sk,
+             ss_sold_time_sk as time_sk
+      from store_sales, date_dim
+      where d_date_sk = ss_sold_date_sk and d_moy = 11 and d_year = 1999
+     ) tmp, time_dim
+where sold_item_sk = i_item_sk
+  and i_manager_id = 1
+  and time_sk = t_time_sk
+  and (t_meal_time = 'breakfast' or t_meal_time = 'dinner')
+group by i_brand, i_brand_id, t_hour, t_minute
+order by ext_price desc, i_brand_id
+"""
+
+QUERIES["q73"] = """
+select c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+from (select ss_ticket_number, ss_customer_sk, count(*) cnt
+      from store_sales, date_dim, store, household_demographics
+      where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        and store_sales.ss_store_sk = store.s_store_sk
+        and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        and date_dim.d_dom between 1 and 2
+        and (household_demographics.hd_buy_potential = '>10000'
+             or household_demographics.hd_buy_potential = 'Unknown')
+        and household_demographics.hd_vehicle_count > 0
+        and case when household_demographics.hd_vehicle_count > 0
+                 then 1.0 * household_demographics.hd_dep_count /
+                      household_demographics.hd_vehicle_count
+                 else null end > 1
+        and date_dim.d_year in (1999, 1999 + 1, 1999 + 2)
+        and store.s_county in ('Williamson County', 'Franklin Parish',
+                               'Bronx County', 'Orange County')
+      group by ss_ticket_number, ss_customer_sk) dj, customer
+where ss_customer_sk = c_customer_sk
+  and cnt between 1 and 5
+order by cnt desc, c_last_name asc
+"""
+
+QUERIES["q76"] = """
+select channel, col_name, d_year, d_qoy, i_category,
+       count(*) sales_cnt, sum(ext_sales_price) sales_amt
+from (select 'store' as channel, 'ss_store_sk' col_name, d_year, d_qoy,
+             i_category, ss_ext_sales_price ext_sales_price
+      from store_sales, item, date_dim
+      where ss_store_sk is null
+        and ss_sold_date_sk = d_date_sk
+        and ss_item_sk = i_item_sk
+      union all
+      select 'web' as channel, 'ws_ship_customer_sk' col_name, d_year, d_qoy,
+             i_category, ws_ext_sales_price ext_sales_price
+      from web_sales, item, date_dim
+      where ws_ship_customer_sk is null
+        and ws_sold_date_sk = d_date_sk
+        and ws_item_sk = i_item_sk
+      union all
+      select 'catalog' as channel, 'cs_ship_addr_sk' col_name, d_year, d_qoy,
+             i_category, cs_ext_sales_price ext_sales_price
+      from catalog_sales, item, date_dim
+      where cs_ship_addr_sk is null
+        and cs_sold_date_sk = d_date_sk
+        and cs_item_sk = i_item_sk) foo
+group by channel, col_name, d_year, d_qoy, i_category
+order by channel, col_name, d_year, d_qoy, i_category
+limit 100
+"""
+
+QUERIES["q79"] = """
+select c_last_name, c_first_name, substr(s_city, 1, 30) city,
+       ss_ticket_number, amt, profit
+from (select ss_ticket_number, ss_customer_sk, store.s_city,
+             sum(ss_coupon_amt) amt, sum(ss_net_profit) profit
+      from store_sales, date_dim, store, household_demographics
+      where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        and store_sales.ss_store_sk = store.s_store_sk
+        and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        and (household_demographics.hd_dep_count = 6
+             or household_demographics.hd_vehicle_count > 2)
+        and date_dim.d_dow = 1
+        and date_dim.d_year in (1999, 1999 + 1, 1999 + 2)
+        and store.s_number_employees between 200 and 295
+      group by ss_ticket_number, ss_customer_sk, ss_addr_sk,
+               store.s_city) ms, customer
+where ss_customer_sk = c_customer_sk
+order by c_last_name, c_first_name, city, profit
+limit 100
+"""
+
+QUERIES["q84"] = """
+select c_customer_id as customer_id,
+       coalesce(c_last_name, '') as customer_lastname,
+       coalesce(c_first_name, '') as customer_firstname
+from customer, customer_address, customer_demographics,
+     household_demographics, income_band, store_returns
+where ca_city = 'Edgewood'
+  and c_current_addr_sk = ca_address_sk
+  and ib_lower_bound >= 38128
+  and ib_upper_bound <= 38128 + 50000
+  and ib_income_band_sk = hd_income_band_sk
+  and cd_demo_sk = c_current_cdemo_sk
+  and hd_demo_sk = c_current_hdemo_sk
+  and sr_cdemo_sk = cd_demo_sk
+order by c_customer_id
+limit 100
+"""
+
+QUERIES["q85"] = """
+select substr(r_reason_desc, 1, 20) reason_desc,
+       avg(ws_quantity) avg_q,
+       avg(wr_refunded_cash) avg_cash,
+       avg(wr_fee) avg_fee
+from web_sales, web_returns, web_page, customer_demographics cd1,
+     customer_demographics cd2, customer_address, date_dim, reason
+where ws_web_page_sk = wp_web_page_sk
+  and ws_item_sk = wr_item_sk
+  and ws_order_number = wr_order_number
+  and ws_sold_date_sk = d_date_sk
+  and d_year = 2000
+  and cd1.cd_demo_sk = wr_refunded_cdemo_sk
+  and cd2.cd_demo_sk = wr_returning_cdemo_sk
+  and ca_address_sk = wr_refunded_addr_sk
+  and r_reason_sk = wr_reason_sk
+  and ((cd1.cd_marital_status = 'M'
+        and cd1.cd_marital_status = cd2.cd_marital_status
+        and cd1.cd_education_status = 'Advanced Degree'
+        and cd1.cd_education_status = cd2.cd_education_status
+        and ws_sales_price between 100.00 and 150.00)
+    or (cd1.cd_marital_status = 'S'
+        and cd1.cd_marital_status = cd2.cd_marital_status
+        and cd1.cd_education_status = 'College'
+        and cd1.cd_education_status = cd2.cd_education_status
+        and ws_sales_price between 50.00 and 100.00)
+    or (cd1.cd_marital_status = 'W'
+        and cd1.cd_marital_status = cd2.cd_marital_status
+        and cd1.cd_education_status = '2 yr Degree'
+        and cd1.cd_education_status = cd2.cd_education_status
+        and ws_sales_price between 150.00 and 200.00))
+  and ((ca_country = 'United States'
+        and ca_state in ('IN', 'OH', 'NJ')
+        and ws_net_profit between 100 and 200)
+    or (ca_country = 'United States'
+        and ca_state in ('WI', 'CT', 'KY')
+        and ws_net_profit between 150 and 300)
+    or (ca_country = 'United States'
+        and ca_state in ('LA', 'IA', 'AR')
+        and ws_net_profit between 50 and 250))
+group by r_reason_desc
+order by reason_desc, avg_q, avg_cash, avg_fee
+limit 100
+"""
+
+QUERIES["q87"] = """
+select count(*)
+from ((select distinct c_last_name, c_first_name, d_date
+       from store_sales, date_dim, customer
+       where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         and store_sales.ss_customer_sk = customer.c_customer_sk
+         and d_month_seq between 1200 and 1200 + 11)
+      except
+      (select distinct c_last_name, c_first_name, d_date
+       from catalog_sales, date_dim, customer
+       where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+         and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+         and d_month_seq between 1200 and 1200 + 11)
+      except
+      (select distinct c_last_name, c_first_name, d_date
+       from web_sales, date_dim, customer
+       where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+         and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+         and d_month_seq between 1200 and 1200 + 11)
+) cool_cust
+"""
+
+GOLDEN_OVERRIDES["q87"] = """
+select count(*)
+from (select distinct c_last_name, c_first_name, d_date
+      from store_sales, date_dim, customer
+      where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        and store_sales.ss_customer_sk = customer.c_customer_sk
+        and d_month_seq between 1200 and 1200 + 11
+      except
+      select distinct c_last_name, c_first_name, d_date
+      from catalog_sales, date_dim, customer
+      where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+        and d_month_seq between 1200 and 1200 + 11
+      except
+      select distinct c_last_name, c_first_name, d_date
+      from web_sales, date_dim, customer
+      where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+        and d_month_seq between 1200 and 1200 + 11
+) cool_cust
+"""
+
+QUERIES["q91"] = """
+select cc_call_center_id call_center, cc_name call_center_name,
+       cc_manager manager, sum(cr_net_loss) returns_loss
+from call_center, catalog_returns, date_dim, customer,
+     customer_address, customer_demographics, household_demographics
+where cr_call_center_sk = cc_call_center_sk
+  and cr_returned_date_sk = d_date_sk
+  and cr_returning_customer_sk = c_customer_sk
+  and cd_demo_sk = c_current_cdemo_sk
+  and hd_demo_sk = c_current_hdemo_sk
+  and ca_address_sk = c_current_addr_sk
+  and d_year = 1998
+  and d_moy = 11
+  and ((cd_marital_status = 'M' and cd_education_status = 'Unknown')
+       or (cd_marital_status = 'W'
+           and cd_education_status = 'Advanced Degree'))
+  and hd_buy_potential like 'Unknown%'
+  and ca_gmt_offset = -7
+group by cc_call_center_id, cc_name, cc_manager, cd_marital_status,
+         cd_education_status
+order by returns_loss desc
+"""
+
+QUERIES["q92"] = """
+select sum(ws_ext_discount_amt) as excess_discount_amount
+from web_sales, item, date_dim
+where i_manufact_id = 269
+  and i_item_sk = ws_item_sk
+  and d_date between date '1998-03-18'
+                 and (date '1998-03-18' + interval '90' day)
+  and d_date_sk = ws_sold_date_sk
+  and ws_ext_discount_amt > (select 1.3 * avg(ws_ext_discount_amt)
+                             from web_sales, date_dim
+                             where ws_item_sk = i_item_sk
+                               and d_date between date '1998-03-18'
+                                   and (date '1998-03-18' + interval '90' day)
+                               and d_date_sk = ws_sold_date_sk)
+order by sum(ws_ext_discount_amt)
+limit 100
+"""
+
+QUERIES["q93"] = """
+select ss_customer_sk, sum(act_sales) sumsales
+from (select ss_item_sk, ss_ticket_number, ss_customer_sk,
+             case when sr_return_quantity is not null
+                  then (ss_quantity - sr_return_quantity) * ss_sales_price
+                  else ss_quantity * ss_sales_price end act_sales
+      from store_sales
+           left outer join store_returns
+           on (sr_item_sk = ss_item_sk
+               and sr_ticket_number = ss_ticket_number),
+           reason
+      where sr_reason_sk = r_reason_sk
+        and r_reason_desc = 'reason 28') t
+group by ss_customer_sk
+order by sumsales, ss_customer_sk
+limit 100
+"""
+
 QUERIES["q96"] = """
 select count(*) cnt
 from store_sales, household_demographics, time_dim, store
