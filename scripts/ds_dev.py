@@ -29,7 +29,11 @@ conn = build_db(tpcds.to_pandas(raw))
 
 names = sys.argv[1:] or sorted(QUERIES, key=lambda s: int(s[1:]))
 fails = []
-for qname in names:
+for qi, qname in enumerate(names):
+    if qi and qi % 12 == 0:
+        # drop accumulated jit executables (mmap sections add up across
+        # ~100 queries; the persistent compile cache makes re-jit cheap)
+        jax.clear_caches()
     try:
         got = sess.sql(QUERIES[qname])
         want = run_golden(conn, GOLDEN_OVERRIDES.get(qname, QUERIES[qname]))

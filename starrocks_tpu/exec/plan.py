@@ -53,6 +53,10 @@ class ExecContext:
         self.overflows: dict = {}
         self.used_sizes: dict = {}
         self.eager = eager
+        # node-result memo: a materialized CTE is one shared subplan
+        # referenced from several joins (the reference's CTE reuse,
+        # MultiCastDataStreamSink analog) — it must run once per execution
+        self.results: dict[int, Table] = {}
 
     # -- sizing ------------------------------------------------------------
     def sizes(self, node: "PlanNode", defaults: tuple) -> tuple:
@@ -121,6 +125,26 @@ class ExecContext:
 class PlanNode:
     def __post_init__(self):
         self.node_id = next(_node_counter)
+
+    def __init_subclass__(cls, **kw):
+        # wrap each node's run() with per-execution result memoization so a
+        # DAG-shaped plan (shared CTE subplan) evaluates each node once
+        super().__init_subclass__(**kw)
+        inner = cls.__dict__.get("run")
+        if inner is None:
+            return
+
+        def run(self, ctx, _inner=inner):
+            memo = getattr(ctx, "results", None)
+            if memo is None:
+                return _inner(self, ctx)
+            r = memo.get(self.node_id)
+            if r is None:
+                r = _inner(self, ctx)
+                memo[self.node_id] = r
+            return r
+
+        cls.run = run
 
     def run(self, ctx: ExecContext) -> Table:
         raise NotImplementedError
@@ -276,7 +300,15 @@ class HashJoin(PlanNode):
         return p.with_live(mask)
 
     def _keys(self, p, b):
-        return [p[k] for k in self.left_keys], [b[k] for k in self.right_keys]
+        pk = [p[k] for k in self.left_keys]
+        bk = [b[k] for k in self.right_keys]
+        for i, (pc, bc) in enumerate(zip(pk, bk)):
+            # string keys from different dictionaries (e.g. q8's
+            # substr(s_zip) = substr(ca_zip)): remap onto the union dict
+            if (pc.dtype.is_string and bc.dtype.is_string
+                    and pc.dict_id != bc.dict_id):
+                pk[i], bk[i] = _unify_dicts(pc, bc)
+        return pk, bk
 
     def _naa_kernel(self, sizes):
         (cap,) = sizes
@@ -620,6 +652,40 @@ def _unify_dicts(a: Column, b: Column):
 
 
 @dataclasses.dataclass(eq=False)
+class CrossJoin(PlanNode):
+    """Nested-loop cross product for small sides (the reference's
+    CrossJoinNode / NestLoopJoinNode, be/src/exec/cross_join_node.cpp).
+    Output row k = (left row k // M, right row k % M); both inputs are
+    compacted first so M is the padded live count, not the full capacity."""
+    left: PlanNode
+    right: PlanNode
+    right_cols: tuple[str, ...]
+
+    def run(self, ctx):
+        t = ctx.maybe_compact(self, self.left.run(ctx), tag="cl")
+        b = ctx.maybe_compact(self, self.right.run(ctx), tag="cr")
+
+        def kernel(t, b):
+            n, m = t.nrows, b.nrows
+            li = jnp.repeat(jnp.arange(n, dtype=jnp.int32), m)
+            ri = jnp.tile(jnp.arange(m, dtype=jnp.int32), n)
+            cols = {}
+            for name, c in t.columns.items():
+                cols[name] = Column(c.data[li],
+                                    None if c.valid is None else c.valid[li],
+                                    c.dtype, c.dict_id)
+            for name in self.right_cols:
+                c = b[name]
+                cols[name] = Column(c.data[ri],
+                                    None if c.valid is None else c.valid[ri],
+                                    c.dtype, c.dict_id)
+            live = t.live_mask()[li] & b.live_mask()[ri]
+            return Table(columns=cols, live=live)
+
+        return ctx.op(self, kernel, t, b)
+
+
+@dataclasses.dataclass(eq=False)
 class BroadcastScalar(PlanNode):
     """Attach columns of a single-row source (e.g. a global aggregate) to
     every row of child — the engine's scalar-subquery primitive (the analog
@@ -634,10 +700,13 @@ class BroadcastScalar(PlanNode):
 
         def kernel(t, s):
             n = t.nrows
+            # the single live row of a padded/hashed source need not be row 0
+            src_row = jnp.argmax(s.live_mask())
             for name in self.columns:
                 c = s[name]
-                data = jnp.broadcast_to(c.data[0], (n,))
-                valid = None if c.valid is None else jnp.broadcast_to(c.valid[0], (n,))
+                data = jnp.broadcast_to(c.data[src_row], (n,))
+                valid = None if c.valid is None else jnp.broadcast_to(
+                    c.valid[src_row], (n,))
                 t = t.with_column(name, Column(data, valid, c.dtype, c.dict_id))
             return t
 

@@ -496,16 +496,19 @@ class Case(Expr):
             raise TypeError("CASE with all-NULL branches")
         out_dtype = vals[0].dtype
         dict_id = vals[0].dict_id
+        # float anywhere wins (q11's `then f/f else 0.0`); otherwise the
+        # widest decimal scale; otherwise the first value's type
+        any_float = any(not v.dtype.is_decimal
+                        and jnp.issubdtype(v.data.dtype, jnp.floating)
+                        for v in vals)
+        if any_float:
+            out_dtype = dt.FLOAT64
+        else:
+            for v in vals:
+                if v.dtype.is_decimal and (not out_dtype.is_decimal
+                                           or v.dtype.scale > out_dtype.scale):
+                    out_dtype = v.dtype
         for v in vals:
-            if v.dtype.is_decimal and (not out_dtype.is_decimal
-                                       or v.dtype.scale > out_dtype.scale):
-                out_dtype = v.dtype
-            elif (jnp.issubdtype(v.data.dtype, jnp.floating)
-                  and not out_dtype.is_decimal
-                  and not jnp.issubdtype(jnp.dtype(out_dtype.jnp_dtype),
-                                         jnp.floating)):
-                from starrocks_tpu.column.dtypes import FLOAT64
-                out_dtype = FLOAT64
             if v.dtype.is_string and v.dict_id != dict_id:
                 raise NotImplementedError(
                     "CASE over string columns with different dictionaries")
@@ -513,6 +516,8 @@ class Case(Expr):
         def conv(c: Column):
             if out_dtype.is_decimal:
                 return _as_scale(c, out_dtype.scale)
+            if out_dtype.kind is TypeKind.FLOAT64:
+                return _to_float(c)
             return c.data.astype(out_dtype.jnp_dtype)
 
         n = table.nrows
@@ -568,6 +573,19 @@ class Coalesce(Expr):
                         union, dt.dict_values(c.dict_id)).astype(np.int32)
                         )[c.data], c.valid, c.dtype, did)
                     for c in cols]
+        # numeric branches must agree on representation: coalesce(dec, 0)
+        # would otherwise reinterpret scaled ints as plain ints (q77/q80)
+        out_dtype = cols[0].dtype
+        if not out_dtype.is_string:
+            if any(c.dtype.kind is TypeKind.FLOAT64 for c in cols):
+                cols = [Column(_to_float(c), c.valid, dt.FLOAT64)
+                        for c in cols]
+                out_dtype = dt.FLOAT64
+            elif any(c.dtype.is_decimal for c in cols):
+                s = max(c.dtype.scale for c in cols if c.dtype.is_decimal)
+                cols = [Column(_as_scale(c, s), c.valid, dt.DECIMAL(s))
+                        for c in cols]
+                out_dtype = dt.DECIMAL(s)
         out = cols[-1]
         data, valid = out.data, out.validity()
         for c in reversed(cols[:-1]):
@@ -575,4 +593,4 @@ class Coalesce(Expr):
             data = jnp.where(cv, c.data.astype(data.dtype), data)
             valid = cv | valid
         return Column(data, None if cols[0].valid is None else valid,
-                      out.dtype, cols[0].dict_id)
+                      out_dtype, cols[0].dict_id)

@@ -140,7 +140,7 @@ SCHEMA = {
         ('c_preferred_cust_flag', 'str'), ('c_birth_day', 'int'),
         ('c_birth_month', 'int'), ('c_birth_year', 'int'),
         ('c_birth_country', 'str'), ('c_login', 'str'),
-        ('c_email_address', 'str'), ('c_last_review_date_sk', 'int'),
+        ('c_email_address', 'str'), ('c_last_review_date', 'int'),
     ],
     'web_site': [
         ('web_site_sk', 'int'), ('web_site_id', 'str'),
@@ -641,7 +641,7 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> dict:
         "c_login": _ids("LOGIN", n_cust),
         "c_email_address": np.array(
             [f"c{i}@example.com" for i in range(1, n_cust + 1)], dtype=object),
-        "c_last_review_date_sk": (first_sales + 200).astype(np.int64),
+        "c_last_review_date": (first_sales + 200).astype(np.int64),
     }
 
     # ---- store / warehouse / call_center / web_site / web_page /

@@ -30,7 +30,12 @@ from starrocks_tpu.column.column import Column, Table
 class SortKey:
     name: str
     asc: bool = True
-    nulls_first: bool = False  # SQL default: NULLS LAST for ASC
+    # None = engine default (MySQL/StarRocks semantics: NULLs sort lowest —
+    # first for ASC, last for DESC); True/False forces placement
+    nulls_first: Optional[bool] = None
+
+    def resolve_nulls_first(self) -> bool:
+        return self.asc if self.nulls_first is None else self.nulls_first
 
 
 def sort_permutation(table: Table, keys: Sequence[SortKey]) -> jnp.ndarray:
@@ -43,7 +48,8 @@ def sort_permutation(table: Table, keys: Sequence[SortKey]) -> jnp.ndarray:
         # most-significant: live first
         norm.append((jnp.where(table.live, jnp.uint64(0), jnp.uint64(1)), 1))
     for k in keys:
-        norm.extend(fs.normalize_keys(table[k.name], k.asc, k.nulls_first))
+        norm.extend(fs.normalize_keys(table[k.name], k.asc,
+                                      k.resolve_nulls_first()))
     return fs.stable_argsort(norm, n)
 
 

@@ -189,6 +189,10 @@ def window(
                     cnt = _segment_total(cnt, seg_id, n, seg_first)
                 if spec.fn == "avg":
                     fv = running.astype(jnp.float64) / jnp.maximum(cnt, 1)
+                    if c.dtype.is_decimal:
+                        # decimal columns hold scaled ints; avg is a float
+                        # in value units
+                        fv = fv / (10 ** c.dtype.scale)
                     col = Column(fv[inv], (cnt > 0)[inv], dt.FLOAT64)
                 else:
                     out_dt = c.dtype if c.dtype.is_decimal else dt.INT64

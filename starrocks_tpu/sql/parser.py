@@ -329,6 +329,9 @@ class Parser:
             if t.kind == "SYMBOL" and t.value in ("+", "-"):
                 op = self.next().value
                 e = ast.BinOp(op, e, self.parse_multiplicative())
+            elif t.kind == "SYMBOL" and t.value == "||":
+                self.next()
+                e = ast.Func("concat", [e, self.parse_multiplicative()])
             else:
                 return e
 
@@ -401,10 +404,17 @@ class Parser:
                 return ast.Lit(0, "interval", months=12 * n)
             raise SyntaxError(f"unsupported interval unit {unit}")
         if word == "case":
+            # simple form `case X when v then ...` desugars to searched form
+            operand = None
+            if not (self.peek().kind == "KEYWORD"
+                    and self.peek().value == "when"):
+                operand = self.parse_expr()
             branches = []
             default = None
             while self.kw("when"):
                 cond = self.parse_expr()
+                if operand is not None:
+                    cond = ast.BinOp("=", operand, cond)
                 self.expect("KEYWORD", "then")
                 val = self.parse_expr()
                 branches.append((cond, val))

@@ -33,8 +33,8 @@ import numpy as np
 from starrocks_tpu.column import dtypes as dt
 from starrocks_tpu.exprs import expr as E
 from starrocks_tpu.exec.plan import (
-    AddColumns, Aggregate, BroadcastScalar, Filter, HashJoin, Limit, PlanNode,
-    Project, Scan, Sort, Window,
+    AddColumns, Aggregate, BroadcastScalar, CrossJoin, Filter, HashJoin,
+    Limit, PlanNode, Project, Scan, Sort, Window,
 )
 from starrocks_tpu.ops.hash_agg import AggSpec
 from starrocks_tpu.ops.sort import SortKey
@@ -60,6 +60,10 @@ class Relation:
     maps: dict[str, dict[str, str]]
     unique_keys: list[tuple[str, ...]]
     size: int
+    # global-aggregate SELECTs produce exactly one row; such relations
+    # cross-join as broadcasts (the reference plans these as a 1-row
+    # cross join, e.g. TPC-DS q28/q61/q88/q90)
+    single_row: bool = False
 
     @property
     def aliases(self):
@@ -132,6 +136,16 @@ def fold_const(node: ast.Node) -> ast.Node:
                 v = {"+": l.value + r.value, "-": l.value - r.value,
                      "*": l.value * r.value}[node.op]
                 return ast.Lit(v, "int")
+            if (l.kind in ("int", "decimal") and r.kind in ("int", "decimal")
+                    and node.op == "/"):
+                # fold constant division (q23's `50/100.0`) to a decimal
+                lv = l.value / (10 ** l.scale if l.kind == "decimal" else 1)
+                rv = r.value / (10 ** r.scale if r.kind == "decimal" else 1)
+                if rv != 0:
+                    v = lv / rv
+                    scaled = round(v * 10**6)
+                    if abs(scaled / 10**6 - v) < 1e-12:
+                        return ast.Lit(scaled, "decimal", 6)
         return ast.BinOp(node.op, l, r)
     if isinstance(node, ast.UnaryOp) and node.op == "-":
         c = fold_const(node.child)
@@ -352,8 +366,13 @@ def _cap(n: float) -> int:
 class Binder:
     def __init__(self, scope: Scope):
         self.scope = scope
+        self.hook = None     # optional node-level substitution (agg refs)
 
     def bind(self, node: ast.Node) -> E.Expr:
+        if self.hook is not None:
+            r = self.hook(node)
+            if r is not None:
+                return r
         node = fold_const(node)
         if isinstance(node, ast.Col):
             rel, plan_name, depth = self.scope.resolve(node)
@@ -450,14 +469,24 @@ class Planner:
             return dataclasses.replace(rel, maps={alias: merged})
         ctes = getattr(self, "_ctes", {})
         if ref.name in ctes:
-            # inline the CTE at each reference (StatementPlanner's default
-            # non-reused CTE strategy)
-            rel = self.plan_stmt(ctes[ref.name], outer_scope)
+            # materialize the CTE once and share the subplan across all
+            # references (the reference's CTE reuse / MultiCastDataStreamSink;
+            # execution memoizes node results so it runs once) — q4/q47's
+            # 6-way self-joined CTEs make inlining quadratic
+            cache = getattr(self, "_cte_plans", None)
+            if cache is None:
+                cache = self._cte_plans = {}
+            rel = cache.get(ref.name)
+            if rel is None:
+                rel = self.plan_stmt(ctes[ref.name], None)
+                merged = {}
+                for m in rel.maps.values():
+                    merged.update(m)
+                rel = dataclasses.replace(rel, maps={"_cte": merged})
+                cache[ref.name] = rel
             alias = getattr(ref, "alias", None) or ref.name
-            merged = {}
-            for m in rel.maps.values():
-                merged.update(m)
-            return dataclasses.replace(rel, maps={alias: merged})
+            return dataclasses.replace(
+                rel, maps={alias: dict(rel.maps["_cte"])})
         meta = self.catalog.get(ref.name)
         alias = ref.alias or ref.name
         qualify = ref.alias is not None and ref.alias != ref.name
@@ -476,13 +505,17 @@ class Planner:
     def plan_stmt(self, stmt, outer_scope: Optional[Scope] = None) -> Relation:
         if isinstance(stmt, ast.WithStmt):
             prev = getattr(self, "_ctes", {})
+            prev_plans = getattr(self, "_cte_plans", None)
             self._ctes = dict(prev)
+            self._cte_plans = dict(prev_plans or {})
             for name, q in stmt.ctes:
                 self._ctes[name] = q     # later CTEs may reference earlier
+                self._cte_plans.pop(name, None)   # shadowing redefines
             try:
                 return self.plan_stmt(stmt.body, outer_scope)
             finally:
                 self._ctes = prev
+                self._cte_plans = prev_plans
         if isinstance(stmt, ast.SetOpStmt):
             return self.plan_setop(stmt, outer_scope)
         return self.plan_select(stmt, outer_scope)
@@ -515,12 +548,14 @@ class Planner:
         return rel
 
     def plan_select(self, stmt: ast.SelectStmt, outer_scope: Optional[Scope] = None) -> Relation:
-        # nested planning (subqueries) must not clobber the caller's agg map
+        # nested planning (subqueries) must not clobber the caller's maps
         prev_agg_map = getattr(self, "_agg_map", None)
+        prev_sub_map = getattr(self, "_sel_sub_map", None)
         try:
             return self._plan_select(stmt, outer_scope)
         finally:
             self._agg_map = prev_agg_map if prev_agg_map is not None else {}
+            self._sel_sub_map = prev_sub_map if prev_sub_map is not None else {}
 
     def _plan_select(self, stmt: ast.SelectStmt, outer_scope: Optional[Scope] = None) -> Relation:
         if not stmt.froms:
@@ -557,22 +592,34 @@ class Planner:
         for c in conjuncts(where):
             all_conjs.extend(factor_or(c))
         pushdowns: dict[int, list] = {i: [] for i in range(len(rels))}
-        edges, pending, sub_preds = [], [], []
+        edges, pending, sub_preds, post_filters = [], [], [], []
+        lj_rels = [r for _, r in left_joins]
         for c in all_conjs:
             if isinstance(c, ast.Lit) and c.kind == "bool" and c.value:
                 continue
             if contains_subquery(c):
                 sub_preds.append(c)
                 continue
+            if lj_rels and self._rels_of(c, lj_rels, scope):
+                # references a null-extended side (q78's `sr_ticket_number
+                # is null` anti-join idiom): filter after the outer join
+                post_filters.append(c)
+                continue
             idxs = self._rels_of(c, rels, scope)
             if len(idxs) == 1:
                 pushdowns[next(iter(idxs))].append(c)
             elif (len(idxs) == 2 and isinstance(c, ast.BinOp) and c.op == "="
-                  and isinstance(c.left, ast.Col) and isinstance(c.right, ast.Col)):
+                  and len(self._rels_of(c.left, rels, scope)) == 1
+                  and len(self._rels_of(c.right, rels, scope)) == 1):
+                # equi edge; either side may be an expression over one rel
+                # (q8's substr(s_zip,1,2) = substr(ca_zip,1,2)) — computed
+                # keys materialize as derived columns on their rel
                 i, j = sorted(idxs)
-                lcol, rcol = c.left, c.right
-                if next(iter(self._rels_of(lcol, rels, scope))) != i:
-                    lcol, rcol = rcol, lcol
+                lexpr, rexpr = c.left, c.right
+                if next(iter(self._rels_of(lexpr, rels, scope))) != i:
+                    lexpr, rexpr = rexpr, lexpr
+                lcol = self._join_key_ref(rels, i, lexpr, outer_scope)
+                rcol = self._join_key_ref(rels, j, rexpr, outer_scope)
                 edges.append((i, j, lcol, rcol))
             else:
                 pending.append((idxs, c))
@@ -585,6 +632,10 @@ class Planner:
         stream = self._join_greedy(rels, edges, pending, outer_scope)
         for jc, r in left_joins:
             stream = self._left_join(stream, r, jc, outer_scope)
+        for c in post_filters:
+            b = Binder(Scope([stream], parent=outer_scope))
+            stream = dataclasses.replace(stream,
+                                         plan=Filter(stream.plan, b.bind(c)))
         for c in sub_preds:
             stream = self.apply_subquery_pred(stream, c, outer_scope,
                                               bind_fn=None)
@@ -618,6 +669,21 @@ class Planner:
                         idxs.add(i)
         return idxs
 
+    def _join_key_ref(self, rels, i, expr, outer_scope) -> ast.Col:
+        """Resolve a join-key expression on rels[i] to a column reference,
+        materializing non-trivial expressions as derived columns."""
+        if isinstance(expr, ast.Col):
+            return expr
+        name = _gen("jk")
+        b = Binder(Scope([rels[i]], parent=outer_scope))
+        alias = next(iter(rels[i].maps))
+        maps = {a: dict(m) for a, m in rels[i].maps.items()}
+        maps[alias][name] = name
+        rels[i] = dataclasses.replace(
+            rels[i], plan=AddColumns(rels[i].plan, {name: b.bind(expr)}),
+            maps=maps)
+        return ast.Col(name, qualifier=alias)
+
     # -- joins ---------------------------------------------------------------------
     def _join_greedy(self, rels, edges, pending, outer_scope) -> Relation:
         n = len(rels)
@@ -646,7 +712,35 @@ class Planner:
                 elif j in joined and i in remaining:
                     cands.setdefault(i, []).append((rc, lc))
             if not cands:
-                raise NotImplementedError("cross join required; unsupported")
+                # single-row sources cross-join as broadcasts (the engine's
+                # BroadcastScalar; mirrors the reference's 1-row cross join
+                # of uncorrelated scalar subqueries — TPC-DS q28/q61/q88/q90)
+                b_idx = next((k for k in remaining if rels[k].single_row), None)
+                if b_idx is not None:
+                    src = rels[b_idx]
+                    plan = BroadcastScalar(stream.plan, src.plan,
+                                           tuple(src.all_plan_cols()))
+                    new_size, uks = stream.size, stream.unique_keys
+                else:
+                    # genuine cross product (q77's cs × cr): smallest
+                    # remaining rel, nested-loop expansion
+                    b_idx = min(remaining, key=lambda k: rels[k].size)
+                    src = self._disambiguate(stream, rels[b_idx])
+                    if stream.size * src.size > 1 << 24:
+                        raise NotImplementedError(
+                            f"cross join too large ({stream.size}x{src.size})")
+                    plan = CrossJoin(stream.plan, src.plan,
+                                     tuple(src.all_plan_cols()))
+                    new_size, uks = stream.size * src.size, []
+                maps = dict(stream.maps)
+                for alias, m in src.maps.items():
+                    maps.setdefault(alias, {}).update(m)
+                stream = Relation(plan, maps, uks, new_size,
+                                  single_row=stream.single_row and src.single_row)
+                joined.add(b_idx)
+                remaining.discard(b_idx)
+                stream, pending = apply_pending(stream)
+                continue
             nxt = min(cands, key=lambda k: rels[k].size)
             stream = self._hash_join(stream, rels[nxt], cands[nxt], "inner")
             joined.add(nxt)
@@ -656,9 +750,24 @@ class Planner:
             raise ValueError(f"unapplied predicates: {[c for _, c in pending]}")
         return stream
 
+    def _disambiguate(self, stream: Relation, build: Relation) -> Relation:
+        """Rename build plan columns that collide with stream plan columns
+        (two derived tables may both alias an output `customer_sk` — q97)."""
+        taken = set(stream.all_plan_cols())
+        cols = build.all_plan_cols()
+        if not any(c in taken for c in cols):
+            return build
+        ren = {c: (_gen("r") if c in taken else c) for c in cols}
+        plan = Project(build.plan, {ren[c]: c for c in cols})
+        maps = {a: {sql: ren[pn] for sql, pn in m.items()}
+                for a, m in build.maps.items()}
+        uks = [tuple(ren.get(k, k) for k in uk) for uk in build.unique_keys]
+        return Relation(plan, maps, uks, build.size, build.single_row)
+
     def _hash_join(self, stream: Relation, build: Relation, pairs,
                    join_type: str) -> Relation:
         """pairs: [(stream_col_ast, build_col_ast)] (equi keys)."""
+        build = self._disambiguate(stream, build)
         skeys = [self._plan_col(stream, sc) for sc, _ in pairs]
         bkeys = [self._plan_col(build, bc) for _, bc in pairs]
         b_unique = any(set(uk) <= set(bkeys) for uk in build.unique_keys)
@@ -690,6 +799,7 @@ class Planner:
     def _left_join(self, stream: Relation, build: Relation, jc: ast.JoinClause,
                    outer_scope) -> Relation:
         jt = jc.kind  # left_outer | right_outer | full_outer
+        build = self._disambiguate(stream, build)
         eq_pairs, build_filters = [], []
         for c in conjuncts(jc.on):
             if (isinstance(c, ast.BinOp) and c.op == "="
@@ -737,12 +847,96 @@ class Planner:
         if isinstance(c, ast.BinOp) and c.op in ("=", "<>", "<", "<=", ">", ">="):
             assert not negated, "NOT around scalar compare unsupported"
             return self._apply_scalar_compare(stream, c, outer_scope, bind_fn)
+        if isinstance(c, ast.BinOp) and c.op in ("and", "or"):
+            assert not negated, "NOT around composite subquery pred unsupported"
+            return self._apply_mark_pred(stream, c, outer_scope)
         raise NotImplementedError(f"subquery predicate {type(c).__name__}")
+
+    def _apply_mark_pred(self, stream, c: ast.Node, outer_scope) -> Relation:
+        """Subqueries under OR/AND (q45's `zip in (...) or item in (select
+        ...)`): each IN/EXISTS becomes a boolean *mark* computed by a
+        left-outer join against the distinct subquery keys plus a constant
+        flag (the mark-join rewrite of the reference optimizer), then the
+        whole predicate filters on the marks."""
+        subs: list = []
+
+        def find(n):
+            if isinstance(n, (ast.InSubquery, ast.ExistsExpr)):
+                subs.append(n)
+                return
+            if isinstance(n, ast.ScalarSubquery):
+                raise NotImplementedError("scalar subquery under OR unsupported")
+            if dataclasses.is_dataclass(n):
+                for f in dataclasses.fields(n):
+                    v = getattr(n, f.name)
+                    if isinstance(v, (list, tuple)):
+                        for x in v:
+                            if isinstance(x, (list, tuple)):
+                                for y in x:
+                                    if isinstance(y, ast.Node):
+                                        find(y)
+                            elif isinstance(x, ast.Node):
+                                find(x)
+                    elif isinstance(v, ast.Node):
+                        find(v)
+
+        find(c)
+        marks: dict[int, E.Expr] = {}
+        for n in subs:
+            if isinstance(n, ast.InSubquery):
+                assert not n.negated, "NOT IN under OR unsupported"
+                sub = self.plan_select(n.query,
+                                       Scope([stream], parent=outer_scope))
+                out_cols = sub.all_plan_cols()
+                assert len(out_cols) == 1, "IN subquery must output one column"
+                key = out_cols[0]
+                src = Aggregate(sub.plan, (key,), (),
+                                est_groups=max(16, sub.size // 2))
+                lhs = fold_const(n.expr)
+                assert isinstance(lhs, ast.Col), "IN lhs must be a column"
+                skeys, bkeys = (self._plan_col(stream, lhs),), (key,)
+                est = sub.size
+            else:  # EXISTS under OR (q35)
+                inner_rels = [self.plan_table_ref(r, None) for r in n.query.froms]
+                local, equi, nonequi = self._split_correlation(
+                    n.query, inner_rels, stream, outer_scope)
+                assert not nonequi, "non-equi EXISTS under OR unsupported"
+                sub, bkeys = self._exists_keys_rel(n.query, local, equi)
+                src = sub.plan
+                skeys = tuple(pn for pn, _ in equi)
+                est = sub.size
+            flag = _gen("mk")
+            src = AddColumns(src, {flag: E.lift(True)})
+            plan = HashJoin(stream.plan, src, tuple(skeys), tuple(bkeys),
+                            "left_outer", (flag,), capacity=_cap(est),
+                            unique=True)
+            stream = dataclasses.replace(stream, plan=plan)
+            mark = E.IsNull(E.col(flag), negate=True)
+            if getattr(n, "negated", False):  # NOT EXISTS under OR
+                mark = E.IsNull(E.col(flag))
+            marks[id(n)] = mark
+
+        binder = Binder(Scope([stream], parent=outer_scope))
+        orig_bind = binder.bind
+
+        def bind_with_marks(node):
+            if id(node) in marks:
+                return marks[id(node)]
+            return orig_bind(node)
+
+        binder.bind = bind_with_marks
+        return dataclasses.replace(stream, plan=Filter(stream.plan,
+                                                       binder.bind(c)))
 
     def _split_correlation(self, stmt: ast.SelectStmt, inner_rels, stream, outer_scope):
         inner_scope = Scope(inner_rels, parent=Scope([stream], parent=outer_scope))
         local, equi, nonequi = [], [], []
-        for c in conjuncts(stmt.where):
+        # OR-factoring first: q41's correlation hides inside
+        # (corr and X) or (corr and Y) — factoring exposes `corr` + residual
+        all_conjs = []
+        for c0 in conjuncts(stmt.where):
+            all_conjs.extend(factor_or(c0))
+        for c in all_conjs:
             cols = collect_cols(c)
             resolved = [(col, *inner_scope.resolve(col)[1:]) for col in cols]
             if all(d == 0 for _, _, d in resolved):
@@ -760,27 +954,43 @@ class Planner:
 
     def _apply_exists(self, stream, q: ast.SelectStmt, negated, outer_scope) -> Relation:
         inner_rels = [self.plan_table_ref(r, None) for r in q.froms]
-        assert len(inner_rels) == 1, "multi-table EXISTS unsupported"
-        inner = inner_rels[0]
-        local, equi, nonequi = self._split_correlation(q, [inner], stream, outer_scope)
-        for p in local:
-            inner = inner.filtered(Binder(Scope([inner])).bind(p))
-        ikeys = tuple(self._plan_col(inner, a) for _, a in equi)
+        local, equi, nonequi = self._split_correlation(q, inner_rels, stream, outer_scope)
         okeys = tuple(pn for pn, _ in equi)
-        if not nonequi:
+        if len(inner_rels) == 1 and not nonequi:
+            # fast path: semi/anti join straight against the filtered table
+            inner = inner_rels[0]
+            for p in local:
+                inner = inner.filtered(Binder(Scope([inner])).bind(p))
+            ikeys = tuple(self._plan_col(inner, a) for _, a in equi)
             jt = "anti" if negated else "semi"
             plan = HashJoin(stream.plan, inner.plan, okeys, ikeys, jt, (),
                             capacity=_cap(inner.size))
             return dataclasses.replace(stream, plan=plan)
+        if not nonequi:
+            # multi-table EXISTS (q10/q35/q69): synthesize
+            # SELECT <equi keys> ... GROUP BY <equi keys> and semi-join it
+            sub, bkeys = self._exists_keys_rel(q, local, equi)
+            jt = "anti" if negated else "semi"
+            plan = HashJoin(stream.plan, sub.plan, okeys, bkeys, jt, (),
+                            capacity=_cap(sub.size), unique=True)
+            return dataclasses.replace(stream, plan=plan)
         assert len(nonequi) == 1, "one non-equi correlation supported"
         outer_pn, inner_col = nonequi[0]
-        icol = self._plan_col(inner, inner_col)
         mn, mx = _gen("mn"), _gen("mx")
-        agg = Aggregate(inner.plan, ikeys,
-                        (AggSpec("min", icol, mn), AggSpec("max", icol, mx)),
-                        est_groups=max(16, inner.size // 2))
-        plan = HashJoin(stream.plan, agg, okeys, ikeys, "left_outer",
-                        (mn, mx), capacity=_cap(inner.size), unique=True)
+        eq_inner = [a for _, a in equi]
+        items = [ast.SelectItem(ast.Func("min", [inner_col]), mn),
+                 ast.SelectItem(ast.Func("max", [inner_col]), mx)]
+        items += [ast.SelectItem(g, _gen("ek")) for g in eq_inner]
+        sub_stmt = ast.SelectStmt(
+            items=items, star=False, froms=q.froms, joins=q.joins,
+            where=_and_all(local), group_by=list(eq_inner), having=None,
+            order_by=[], limit=None)
+        sub = self.plan_select(sub_stmt, None)
+        cols = sub.all_plan_cols()
+        mn, mx = cols[0], cols[1]
+        ikeys = tuple(cols[2:2 + len(eq_inner)])
+        plan = HashJoin(stream.plan, sub.plan, okeys, ikeys, "left_outer",
+                        (mn, mx), capacity=_cap(sub.size), unique=True)
         if negated:
             pred = E.Or(E.IsNull(E.col(mn)),
                         E.And(E.Compare("==", E.col(mn), E.col(outer_pn)),
@@ -790,6 +1000,18 @@ class Planner:
                          E.Or(E.Compare("!=", E.col(mn), E.col(outer_pn)),
                               E.Compare("!=", E.col(mx), E.col(outer_pn))))
         return dataclasses.replace(stream, plan=Filter(plan, pred))
+
+    def _exists_keys_rel(self, q: ast.SelectStmt, local, equi):
+        """Plan the distinct correlation-key set of an EXISTS subquery:
+        SELECT <inner equi cols> FROM q.froms WHERE <local> GROUP BY keys."""
+        eq_inner = [a for _, a in equi]
+        items = [ast.SelectItem(g, _gen("ek")) for g in eq_inner]
+        sub_stmt = ast.SelectStmt(
+            items=items, star=False, froms=q.froms, joins=q.joins,
+            where=_and_all(local), group_by=list(eq_inner), having=None,
+            order_by=[], limit=None)
+        sub = self.plan_select(sub_stmt, None)
+        return sub, tuple(sub.all_plan_cols()[:len(eq_inner)])
 
     def _apply_in(self, stream, c: ast.InSubquery, negated, outer_scope) -> Relation:
         sub = self.plan_select(c.query, Scope([stream], parent=outer_scope))
@@ -848,7 +1070,21 @@ class Planner:
         uncorrelated. avg is decomposed to sum+count so comparisons can be
         cross-multiplied into exact integer arithmetic.
         """
-        assert len(q.items) == 1 and not q.group_by
+        if q.group_by or q.star:
+            # grouped scalar subquery (q44's HAVING: GROUP BY a column the
+            # WHERE pins to one value -> one row) or `select * from <1-row
+            # cte>` (q23). Uncorrelated only: plan whole and broadcast its
+            # single output column.
+            assert q.star or len(q.items) == 1, \
+                "grouped scalar subquery with >1 item"
+            sub = self.plan_select(q, None)
+            v = sub.all_plan_cols()[0]
+            plan = BroadcastScalar(stream.plan, sub.plan, (v,))
+            maps = dict(stream.maps)
+            maps.setdefault("_sub", {}).update({v: v})
+            stream2 = dataclasses.replace(stream, plan=plan, maps=maps)
+            return stream2, E.col(v), None
+        assert len(q.items) == 1
         item = fold_const(q.items[0].expr)
 
         # detect [const *] avg(x) for the exact-fraction path
@@ -918,6 +1154,45 @@ class Planner:
                     items.append(ast.SelectItem(
                         ast.Col(sql, qualifier=alias), sql))
             stmt = dataclasses.replace(stmt, items=items, star=False)
+        # scalar subqueries in the SELECT list (q9's CASE of subqueries):
+        # plan each uncorrelated one and broadcast its value onto the stream
+        sel_sub_map: dict[int, E.Expr] = {}
+        sel_subs: list[ast.ScalarSubquery] = []
+
+        def find_sel_subs(n):
+            if isinstance(n, ast.ScalarSubquery):
+                sel_subs.append(n)
+                return
+            if isinstance(n, (ast.ExistsExpr, ast.InSubquery)):
+                return
+            if dataclasses.is_dataclass(n):
+                for f in dataclasses.fields(n):
+                    v = getattr(n, f.name)
+                    if isinstance(v, (list, tuple)):
+                        for x in v:
+                            if isinstance(x, (list, tuple)):
+                                for y in x:
+                                    if isinstance(y, ast.Node):
+                                        find_sel_subs(y)
+                            elif isinstance(x, ast.Node):
+                                find_sel_subs(x)
+                    elif isinstance(v, ast.Node):
+                        find_sel_subs(v)
+
+        for it in stmt.items:
+            find_sel_subs(it.expr)
+        for n in sel_subs:
+            sub = self.plan_select(n.query, None)   # uncorrelated only
+            v = sub.all_plan_cols()
+            assert len(v) == 1, "SELECT scalar subquery must output one column"
+            plan = BroadcastScalar(stream.plan, sub.plan, (v[0],))
+            maps = dict(stream.maps)
+            maps.setdefault("_sub", {}).update({v[0]: v[0]})
+            stream = dataclasses.replace(stream, plan=plan, maps=maps)
+            sel_sub_map[id(n)] = E.col(v[0])
+        # assign after all nested plan_select calls (each resets the attr)
+        self._sel_sub_map = sel_sub_map
+
         scope = Scope([stream], parent=outer_scope)
         agg_nodes: list[ast.Func] = []
         for it in stmt.items:
@@ -963,7 +1238,8 @@ class Planner:
                 if stmt.distinct:
                     raise  # SELECT DISTINCT forbids ordering by hidden exprs
                 name = _gen("ord")
-                outputs[name] = self._bind_with_agg_refs(e, b)
+                outputs[name] = self._bind_with_agg_refs(
+                    self._subst_aliases(e, stmt, stream), b)
                 hidden.append(name)
             order_keys.append((name, asc))
         plan = Project(stream.plan, outputs)
@@ -977,7 +1253,9 @@ class Planner:
                         break
             if len(gb_out) == len(stmt.group_by):
                 uks = [tuple(gb_out)]
-        rel = Relation(plan, {"q": {n: n for n in out_names}}, uks, stream.size)
+        single = bool(agg_nodes) and not stmt.group_by and stmt.having is None
+        rel = Relation(plan, {"q": {n: n for n in out_names}}, uks,
+                       1 if single else stream.size, single_row=single)
 
         if stmt.distinct:
             rel = dataclasses.replace(
@@ -995,6 +1273,47 @@ class Planner:
         elif stmt.limit is not None:
             rel = dataclasses.replace(rel, plan=Limit(rel.plan, stmt.limit))
         return rel
+
+    def _subst_aliases(self, e: ast.Node, stmt, stream) -> ast.Node:
+        """Replace unqualified column refs that name a SELECT alias with the
+        aliased expression (ORDER BY `case when lochierarchy = 0 ...` where
+        lochierarchy is an output alias — q36/q70/q86)."""
+        alias_map = {it.alias: it.expr for it in stmt.items if it.alias}
+
+        def walk(n):
+            if (isinstance(n, ast.Col) and n.qualifier is None
+                    and n.name in alias_map and stream.lookup(n) is None):
+                return alias_map[n.name]     # original node: id-keyed maps hit
+            if isinstance(n, ast.Node) and dataclasses.is_dataclass(n):
+                kwargs, changed = {}, False
+                for f in dataclasses.fields(n):
+                    v = getattr(n, f.name)
+                    if isinstance(v, ast.Node):
+                        nv = walk(v)
+                        changed |= nv is not v
+                        kwargs[f.name] = nv
+                    elif isinstance(v, list):
+                        nl = []
+                        for x in v:
+                            if isinstance(x, tuple):
+                                nt = tuple(walk(y) if isinstance(y, ast.Node)
+                                           else y for y in x)
+                                changed |= nt != x
+                                nl.append(nt)
+                            elif isinstance(x, ast.Node):
+                                nx = walk(x)
+                                changed |= nx is not x
+                                nl.append(nx)
+                            else:
+                                nl.append(x)
+                        kwargs[f.name] = nl
+                    else:
+                        kwargs[f.name] = v
+                if changed:
+                    return dataclasses.replace(n, **kwargs)
+            return n
+
+        return walk(e)
 
     def _resolve_order_key(self, e: ast.Node, stmt, out_names) -> str:
         if isinstance(e, ast.Col) and e.name in out_names:
@@ -1036,9 +1355,17 @@ class Planner:
 
         specs: list[AggSpec] = []
         distinct_aggs = []
+        planned_nodes: list = []
         for node in agg_nodes:
             if id(node) in self._agg_map:
                 continue
+            # structural dedup: `count(distinct x)` in SELECT and ORDER BY
+            # are distinct AST objects but one aggregate (q16/q94)
+            dup = next((m for m in planned_nodes if _ast_equal(m, node)), None)
+            if dup is not None:
+                self._agg_map[id(node)] = self._agg_map[id(dup)]
+                continue
+            planned_nodes.append(node)
             if node.distinct or node.name == "approx_count_distinct":
                 # approx_count_distinct is answered exactly via the same
                 # two-level distinct aggregation (the HLL sketch of the
@@ -1297,39 +1624,39 @@ class Planner:
         return int(min(max(est, 16), max(stream.size, 16)))
 
     def _bind_with_agg_refs(self, node: ast.Node, binder: Binder) -> E.Expr:
+        """Bind an output expression where planned aggregates / windows /
+        scalar subqueries / group-by expressions substitute as column refs.
+        Installed as a Binder hook so substitution reaches aggregates nested
+        under ANY wrapper (cast(sum(x)) in q49, coalesce(sum(x), 0), ...)."""
+        smap = getattr(self, "_sel_sub_map", {})
         wmap = getattr(self, "_win_map", {})
-        if id(node) in wmap:
-            return wmap[id(node)]
         amap = getattr(self, "_agg_map", {})
-        if id(node) in amap:
-            entry = amap[id(node)]
-            if entry[0] == "col":
-                return E.col(entry[1])
-            _, s, n = entry
-            return E.Arith("/", E.col(s), E.col(n))
-        if isinstance(node, ast.BinOp):
-            if node.op in ("and", "or"):
-                l = self._bind_with_agg_refs(node.left, binder)
-                r = self._bind_with_agg_refs(node.right, binder)
-                return E.And(l, r) if node.op == "and" else E.Or(l, r)
-            l = self._bind_with_agg_refs(node.left, binder)
-            r = self._bind_with_agg_refs(node.right, binder)
-            if node.op in ("+", "-", "*", "/"):
-                return E.Arith(node.op, l, r)
-            return E.Compare({"=": "==", "<>": "!="}.get(node.op, node.op), l, r)
-        if isinstance(node, ast.UnaryOp) and node.op == "-":
-            return E.Arith("-", E.lift(0), self._bind_with_agg_refs(node.child, binder))
-        if isinstance(node, ast.CaseExpr):
-            branches = [(self._bind_with_agg_refs(c, binder),
-                         self._bind_with_agg_refs(v, binder))
-                        for c, v in node.branches]
-            return E.Case(branches, self._bind_with_agg_refs(node.default, binder))
-        for g_ast, key_name in getattr(self, "_gb_exprs", []):
-            if _ast_equal(node, g_ast):
-                return E.col(key_name)
-        if isinstance(node, ast.Func) and node.name in AGG_FN_NAMES:
-            raise ValueError("aggregate not planned (agg_map miss)")
-        return binder.bind(node)
+        gb_exprs = getattr(self, "_gb_exprs", [])
+
+        def hook(n):
+            if id(n) in smap:
+                return smap[id(n)]
+            if id(n) in wmap:
+                return wmap[id(n)]
+            if id(n) in amap:
+                entry = amap[id(n)]
+                if entry[0] == "col":
+                    return E.col(entry[1])
+                _, s, cnt = entry
+                return E.Arith("/", E.col(s), E.col(cnt))
+            for g_ast, key_name in gb_exprs:
+                if _ast_equal(n, g_ast):
+                    return E.col(key_name)
+            if isinstance(n, ast.Func) and n.name in AGG_FN_NAMES:
+                raise ValueError("aggregate not planned (agg_map miss)")
+            return None
+
+        prev = getattr(binder, "hook", None)
+        binder.hook = hook
+        try:
+            return binder.bind(node)
+        finally:
+            binder.hook = prev
 
 
 def plan_sql(text: str, catalog: Catalog, views: Optional[dict] = None) -> PlanNode:

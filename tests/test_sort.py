@@ -39,10 +39,15 @@ def test_sort_strings_desc_and_limit_with_dead_rows():
     assert list(got.s) == ["RAIL", "MAIL"]
 
 
-def test_nulls_last():
+def test_null_ordering():
     c = Column.from_numpy(np.array([3, 1, 2], np.int64), dt.INT64,
                           valid=np.array([True, False, True]))
     t = Table(columns={"k": c})
-    out = sort_table(t, [SortKey("k")])
-    got = out.to_pandas()
+    # engine default is MySQL/StarRocks semantics: NULLs lowest (first ASC)
+    got = sort_table(t, [SortKey("k")]).to_pandas()
+    assert got.k[0] is None and got.k[1] == 2 and got.k[2] == 3
+    got = sort_table(t, [SortKey("k", asc=False)]).to_pandas()
+    assert got.k[0] == 3 and got.k[1] == 2 and got.k[2] is None
+    # explicit placement overrides
+    got = sort_table(t, [SortKey("k", nulls_first=False)]).to_pandas()
     assert got.k[0] == 2 and got.k[1] == 3 and got.k[2] is None
