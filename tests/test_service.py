@@ -1,0 +1,172 @@
+"""Protocol front doors: MySQL wire protocol + Arrow Flight over a Session.
+
+The MySQL test speaks the real wire format through a minimal client (the
+reference tests its protocol layer the same way: MysqlProto unit tests over
+byte buffers + SQL-tester over a live connection)."""
+
+import socket
+import struct
+
+import numpy as np
+import pytest
+
+from starrocks_tpu.column.column import Column, Table
+from starrocks_tpu.column import dtypes as dt
+from starrocks_tpu.exec.session import Session
+
+
+@pytest.fixture(scope="module")
+def session():
+    n = 8
+    vals = Column.from_numpy(np.arange(n, dtype=np.int64), dt.INT64)
+    price = Column.from_numpy((np.arange(n) * 150 + 25).astype(np.int64),
+                              dt.DECIMAL(2))
+    codes, did = dt.dict_encode(np.array(
+        ["red", "green", "blue", "red", "green", "blue", "red", "green"],
+        dtype=object))
+    color = Column(data=np.asarray(codes), valid=None, dtype=dt.STRING,
+                   dict_id=did)
+    t = Table(columns={"k": vals, "price": price, "color": color})
+    return Session({"items": t})
+
+
+# ---------------------------------------------------------------- MySQL wire
+
+class MiniMysqlClient:
+    """Just enough of the client side of the protocol to run COM_QUERY."""
+
+    def __init__(self, port):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+        self.seq = 0
+        self._handshake()
+
+    def _send(self, payload):
+        self.sock.sendall(struct.pack("<I", len(payload))[:3]
+                          + bytes([self.seq & 0xFF]) + payload)
+        self.seq += 1
+
+    def _recv(self):
+        hdr = self._read(4)
+        n = int.from_bytes(hdr[:3], "little")
+        self.seq = (hdr[3] + 1) & 0xFF
+        return self._read(n)
+
+    def _read(self, n):
+        buf = b""
+        while len(buf) < n:
+            c = self.sock.recv(n - len(buf))
+            assert c, "server closed"
+            buf += c
+        return buf
+
+    def _handshake(self):
+        greeting = self._recv()
+        assert greeting[0] == 0x0A                      # protocol v10
+        caps = 0x0200 | 0x8000                          # PROTOCOL_41 | SECURE
+        resp = (struct.pack("<IIB", caps, 1 << 24, 33) + b"\x00" * 23
+                + b"tester\x00" + b"\x00")              # empty auth response
+        self._send(resp)
+        ok = self._recv()
+        assert ok[0] == 0x00, f"auth not OK: {ok!r}"
+
+    @staticmethod
+    def _lenenc(buf, pos):
+        b0 = buf[pos]
+        if b0 < 251:
+            return b0, pos + 1
+        if b0 == 0xFC:
+            return int.from_bytes(buf[pos + 1:pos + 3], "little"), pos + 3
+        if b0 == 0xFD:
+            return int.from_bytes(buf[pos + 1:pos + 4], "little"), pos + 4
+        return int.from_bytes(buf[pos + 1:pos + 9], "little"), pos + 9
+
+    def query(self, sql):
+        self.seq = 0
+        self._send(b"\x03" + sql.encode())
+        first = self._recv()
+        if first[0] == 0xFF:
+            raise RuntimeError(first[9:].decode())
+        if first[0] == 0x00:
+            return None                                  # OK (DDL)
+        ncols, _ = self._lenenc(first, 0)
+        names = []
+        for _ in range(ncols):
+            pkt = self._recv()
+            pos = 0
+            parts = []
+            for _ in range(6):                           # 6 lenenc strings
+                ln, pos = self._lenenc(pkt, pos)
+                parts.append(pkt[pos:pos + ln])
+                pos += ln
+            names.append(parts[4].decode())
+        assert self._recv()[0] == 0xFE                   # EOF after defs
+        rows = []
+        while True:
+            pkt = self._recv()
+            if pkt[0] == 0xFE and len(pkt) < 9:
+                break
+            pos, row = 0, []
+            while pos < len(pkt):
+                if pkt[pos] == 0xFB:
+                    row.append(None)
+                    pos += 1
+                    continue
+                ln, pos = self._lenenc(pkt, pos)
+                row.append(pkt[pos:pos + ln].decode())
+                pos += ln
+            rows.append(row)
+        return names, rows
+
+    def close(self):
+        try:
+            self._send(b"\x01")
+            self.sock.close()
+        except OSError:
+            pass
+
+
+def test_mysql_wire(session):
+    from starrocks_tpu.service.mysql_server import serve
+    server = serve(session)
+    try:
+        cli = MiniMysqlClient(server.port)
+        names, rows = cli.query(
+            "select color, count(*) cnt, sum(price) total from items "
+            "where k < 6 group by color order by color")
+        assert names == ["color", "cnt", "total"]
+        assert rows == [["blue", "2", "11.0"], ["green", "2", "8.0"],
+                        ["red", "2", "5.0"]]
+        with pytest.raises(RuntimeError):
+            cli.query("select nonsense_column from items")
+        # DDL round-trips as OK packets
+        assert cli.query("create view v1 as select k from items") is None
+        names2, rows2 = cli.query("select count(*) c from v1")
+        assert rows2 == [["8"]]
+        cli.close()
+    finally:
+        server.shutdown()
+
+
+# --------------------------------------------------------------- ArrowFlight
+
+def test_flight(session):
+    flight = pytest.importorskip("pyarrow.flight")
+    from starrocks_tpu.service.flight_server import EngineFlightServer
+
+    server = EngineFlightServer(session)
+    try:
+        client = flight.connect(f"grpc://127.0.0.1:{server.port}")
+        desc = flight.FlightDescriptor.for_command(
+            b"select color, sum(price) total from items group by color"
+            b" order by color")
+        info = client.get_flight_info(desc)
+        reader = client.do_get(info.endpoints[0].ticket)
+        table = reader.read_all()
+        df = table.to_pandas()
+        assert list(df.columns) == ["color", "total"]
+        assert list(df["color"]) == ["blue", "green", "red"]
+        names = [fi.descriptor.path[0].decode()
+                 for fi in client.list_flights()]
+        assert "items" in names
+    finally:
+        server.shutdown()
