@@ -142,6 +142,7 @@ class DistExecutor:
     def __init__(self, ctx: plan_mod.ExecContext, dist_tables: dict[str, DistTable]):
         self.ctx = ctx
         self.dist = dist_tables
+        self._memo: dict[int, DistTable] = {}   # shared CTE subplans (DAGs)
 
     # -- helpers -----------------------------------------------------------
     def _keys_cover(self, part_keys, names) -> bool:
@@ -165,10 +166,15 @@ class DistExecutor:
 
     # -- dispatch ------------------------------------------------------------
     def run(self, node: PlanNode) -> DistTable:
+        r = self._memo.get(node.node_id)
+        if r is not None:
+            return r
         m = getattr(self, f"_run_{type(node).__name__}", None)
         if m is None:
             raise NotImplementedError(type(node).__name__)
-        return m(node)
+        r = m(node)
+        self._memo[node.node_id] = r
+        return r
 
     def _run_Scan(self, node: Scan) -> DistTable:
         dt = self.dist[node.table]
@@ -287,14 +293,81 @@ class DistExecutor:
     def _run_BroadcastScalar(self, node: BroadcastScalar) -> DistTable:
         dt = self.run(node.child)
         src = self.run(node.source)
+        if not src.replicated:
+            src = DistTable(shuf.gather_rows(src.table, AXIS), None, True)
         t = dt.table
         n = t.nrows
+        src_row = jnp.argmax(src.table.live_mask())
         for name in node.columns:
             c = src.table[name]
-            data = jnp.broadcast_to(c.data[0], (n,))
-            valid = None if c.valid is None else jnp.broadcast_to(c.valid[0], (n,))
+            data = jnp.broadcast_to(c.data[src_row], (n,))
+            valid = None if c.valid is None else jnp.broadcast_to(
+                c.valid[src_row], (n,))
             t = t.with_column(name, Column(data, valid, c.dtype, c.dict_id))
         return DistTable(t, dt.part_keys, dt.replicated)
+
+    def _run_CrossJoin(self, node) -> DistTable:
+        # nested-loop product: replicate the (small) right side, expand
+        # locally against each device's left shard
+        ldt = self.run(node.left)
+        rdt = self.run(node.right)
+        if not rdt.replicated:
+            rdt = DistTable(shuf.gather_rows(rdt.table, AXIS), None, True)
+        t, b = ldt.table, rdt.table
+        n, m = t.nrows, b.nrows
+        li = jnp.repeat(jnp.arange(n, dtype=jnp.int32), m)
+        ri = jnp.tile(jnp.arange(m, dtype=jnp.int32), n)
+        cols = {}
+        for name, c in t.columns.items():
+            cols[name] = Column(c.data[li],
+                                None if c.valid is None else c.valid[li],
+                                c.dtype, c.dict_id)
+        for name in node.right_cols:
+            c = b[name]
+            cols[name] = Column(c.data[ri],
+                                None if c.valid is None else c.valid[ri],
+                                c.dtype, c.dict_id)
+        live = t.live_mask()[li] & b.live_mask()[ri]
+        return DistTable(Table(columns=cols, live=live), ldt.part_keys,
+                         ldt.replicated)
+
+    def _run_SetOp(self, node) -> DistTable:
+        from starrocks_tpu.exec.plan import SetOp
+        ldt, rdt = self.run(node.left), self.run(node.right)
+        # align replication: both local shards or both replicated
+        if ldt.replicated != rdt.replicated:
+            if ldt.replicated:
+                rdt = DistTable(shuf.gather_rows(rdt.table, AXIS), None, True)
+            else:
+                ldt = DistTable(shuf.gather_rows(ldt.table, AXIS), None, True)
+        if node.kind == "union_all":
+            shim = _SetShim(node, ldt.table, rdt.table)
+            out = SetOp.run(shim, self.ctx)
+            return DistTable(out, None, ldt.replicated)
+        # distinct set ops dedupe across shards: shuffle both sides by all
+        # columns so equal rows colocate, then run the local kernel
+        if not ldt.replicated:
+            names = ldt.table.column_names()
+            ldt = self._shuffle(ldt, tuple(names), node.node_id, slot=102)
+            rplan = rdt.table.select(list(names)) \
+                if rdt.table.column_names() != names else rdt.table
+            rdt = self._shuffle(DistTable(rplan, None, False), tuple(names),
+                                node.node_id, slot=103)
+        shim = _SetShim(node, ldt.table, rdt.table)
+        out = SetOp.run(shim, self.ctx)
+        return DistTable(out, None, ldt.replicated)
+
+    def _run_Window(self, node) -> DistTable:
+        from starrocks_tpu.ops.window import window as _window
+        dt = self.run(node.child)
+        # correct for any partition_by: gather so every partition is whole.
+        # (colocated fast path when partition keys cover the sharding)
+        if not dt.replicated and not (
+                node.partition_by
+                and self._keys_cover(dt.part_keys, node.partition_by)):
+            dt = DistTable(shuf.gather_rows(dt.table, AXIS), None, True)
+        out = _window(dt.table, node.partition_by, node.order_by, node.specs)
+        return DistTable(out, dt.part_keys, dt.replicated)
 
     def _run_Sort(self, node: Sort) -> DistTable:
         dt = self.run(node.child)
@@ -335,6 +408,22 @@ class _JoinShim:
     _semi_kernel = plan_mod.HashJoin._semi_kernel
     _rsemi_kernel = plan_mod.HashJoin._rsemi_kernel
     _expand_kernel = plan_mod.HashJoin._expand_kernel
+
+
+class _SetShim:
+    """SetOp with its inputs already resolved to device-local Tables."""
+
+    def __init__(self, node, left_t: Table, right_t: Table):
+        self.__dict__.update({
+            f.name: getattr(node, f.name) for f in dataclasses.fields(node)})
+        self.node_id = node.node_id
+        self.left = _Const(left_t)
+        self.right = _Const(right_t)
+
+    run = plan_mod.SetOp.run
+    _prep = plan_mod.SetOp._prep
+    _union_kernel = plan_mod.SetOp._union_kernel
+    _setop_kernel = plan_mod.SetOp._setop_kernel
 
 
 class _Const:
