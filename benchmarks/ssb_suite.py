@@ -23,6 +23,8 @@ def _timed(fn):
 
 def main():
     import starrocks_tpu  # noqa: F401
+    from starrocks_tpu.config import set_config
+    set_config(enable_result_cache=False)   # time executions, not cache hits
     import jax
     import jax.numpy as jnp
 

@@ -19,6 +19,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main():
     import starrocks_tpu  # noqa: F401
+    from starrocks_tpu.config import set_config
+    set_config(enable_result_cache=False)   # time executions, not cache hits
     import jax
     import jax.numpy as jnp
 

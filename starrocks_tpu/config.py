@@ -35,6 +35,11 @@ class EngineConfig:
     # runtime filters (build-side min-max pushed to the probe input,
     # RuntimeMembershipFilter analog, be/src/exprs/runtime_filter.h:1093)
     enable_runtime_filters: bool = True
+    # result cache (the query-cache analog, be/src/exec/query_cache/
+    # cache_operator.h:42 — whole-result granularity here: immutable
+    # bulk-loaded tables make table-version keys exact)
+    enable_result_cache: bool = True
+    result_cache_max_entries: int = 256
 
 
 CONFIG = EngineConfig()

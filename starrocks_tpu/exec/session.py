@@ -29,6 +29,13 @@ class Session:
                 tables, mesh, partitioning or D.TPCH_PARTITIONING)
         self._plan_cache: dict[str, object] = {}
         self.views: dict[str, str] = {}
+        # result cache: SQL text -> DataFrame, exact because registered
+        # tables are immutable between catalog versions (query-cache analog,
+        # be/src/exec/query_cache/cache_operator.h:42)
+        self._result_cache: dict[str, object] = {}
+        self._catalog_version = 0
+        from starrocks_tpu.utils.metrics import table_bytes
+        table_bytes(self.tables)
 
     def plan(self, text: str):
         if text not in self._plan_cache:
@@ -51,6 +58,10 @@ class Session:
         self.tables[name] = table
         self.catalog = Catalog.from_tables(self.tables)
         self._plan_cache.clear()
+        self._result_cache.clear()
+        self._catalog_version += 1
+        from starrocks_tpu.utils.metrics import table_bytes
+        table_bytes(self.tables)
         if self.mesh is not None:
             from starrocks_tpu.parallel import dist as D
             self._dist_tables = D.place_tables(
@@ -61,6 +72,8 @@ class Session:
         self.views.pop(name, None)
         self.catalog = Catalog.from_tables(self.tables)
         self._plan_cache.clear()
+        self._result_cache.clear()
+        self._catalog_version += 1
 
     def load_parquet(self, name: str, path: str) -> Table:
         from starrocks_tpu.io.parquet_io import read_parquet
@@ -89,6 +102,7 @@ class Session:
         if m:
             self.views[m.group(1)] = m.group(2)
             self._plan_cache.clear()
+            self._result_cache.clear()
             return pd.DataFrame()
         m = re.match(r"(?is)^insert\s+into\s+(\w+)\s+(select.*)$", s)
         if m:
@@ -111,6 +125,12 @@ class Session:
         ddl = self._try_ddl(text)
         if ddl is not None:
             return ddl
+        from starrocks_tpu.config import CONFIG
+        if CONFIG.enable_result_cache:
+            hit = self._result_cache.get(text)
+            if hit is not None:
+                REGISTRY.inc("result_cache_hits_total")
+                return hit.copy()
         t0 = time.perf_counter()
         try:
             df = self.execute(text).to_pandas()
@@ -126,6 +146,12 @@ class Session:
         REGISTRY.inc("query_ms_total", wall_ms)
         AUDIT.record(AuditRecord(time.time(), text.strip()[:500], wall_ms,
                                  len(df), ok=True))
+        from starrocks_tpu.utils.metrics import device_memory_gauges
+        device_memory_gauges()
+        if CONFIG.enable_result_cache:
+            if len(self._result_cache) >= CONFIG.result_cache_max_entries:
+                self._result_cache.pop(next(iter(self._result_cache)))
+            self._result_cache[text] = df.copy()
         return df
 
     def explain(self, text: str) -> str:

@@ -107,3 +107,38 @@ def serve_metrics(port: int = 18030, registry: MetricRegistry = REGISTRY):
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv
+
+
+def device_memory_gauges() -> dict:
+    """Device memory accounting (the MemTracker hierarchy analog,
+    be/src/runtime/mem_tracker.h:122 — static shapes make per-query usage a
+    compile-time quantity; this reports the allocator's live view)."""
+    import jax
+    out = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:                                    # noqa: BLE001
+        stats = None
+    if stats:
+        for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+            if k in stats:
+                out[f"device_{k}"] = float(stats[k])
+                REGISTRY.set_gauge(f"device_{k}", float(stats[k]))
+    return out
+
+
+def table_bytes(tables: dict) -> float:
+    """Static footprint of registered tables (columns are device arrays of
+    known dtype/shape — the 'process mem tracker' level of the hierarchy;
+    the axon relay device exposes no allocator stats, so this is the
+    host-visible ground truth)."""
+    total = 0
+    for t in tables.values():
+        for c in t.columns.values():
+            total += c.data.size * c.data.dtype.itemsize
+            if c.valid is not None:
+                total += c.valid.size
+        if t.live is not None:
+            total += t.live.size
+    REGISTRY.set_gauge("tables_bytes", float(total))
+    return float(total)

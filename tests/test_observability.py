@@ -55,3 +55,35 @@ def test_audit_records_failures(session):
         session.sql("select nope from nation")
     rec = M.AUDIT.tail(1)[0]
     assert not rec.ok and "nope" in (rec.error or "")
+
+
+def test_result_cache_and_memory_accounting(tpch_tables):
+    """Query-cache analog (cache_operator.h:42) + MemTracker-style gauges."""
+    from starrocks_tpu.config import CONFIG
+    from starrocks_tpu.exec.session import Session
+    from starrocks_tpu.utils.metrics import REGISTRY
+
+    sess = Session(dict(tpch_tables))
+    assert REGISTRY.snapshot().get("tables_bytes", 0) > 0
+
+    q = "select count(*) c from lineitem where l_quantity < 10"
+    before = REGISTRY.snapshot().get("result_cache_hits_total", 0)
+    a = sess.sql(q)
+    b = sess.sql(q)                     # served from the result cache
+    assert a.equals(b)
+    assert REGISTRY.snapshot().get("result_cache_hits_total", 0) == before + 1
+
+    # catalog mutation invalidates
+    sess.register("tiny", sess.execute("select n_name from nation"))
+    c = sess.sql(q)
+    assert c.equals(a)
+
+    # config off bypasses entirely
+    CONFIG.enable_result_cache = False
+    try:
+        sess.sql(q)
+        hits = REGISTRY.snapshot().get("result_cache_hits_total", 0)
+        sess.sql(q)
+        assert REGISTRY.snapshot().get("result_cache_hits_total", 0) == hits
+    finally:
+        CONFIG.enable_result_cache = True
