@@ -258,7 +258,14 @@ AGG_NAME_MAP = {
     "stddev_samp": "stddev_samp",
     "percentile_cont": "percentile_cont", "percentile_disc": "percentile_disc",
 }
-AGG_FN_NAMES = ("avg", "approx_count_distinct") + tuple(AGG_NAME_MAP)
+# distinct-cardinality family: the reference answers these with HLL or
+# Roaring-bitmap sketches (be/src/types/hll.h, bitmap_union_count); exact
+# distinct aggregation costs the same here (sort-segmented group state), so
+# every sketch form maps onto it. `to_bitmap`/`hll_hash` inner wrappers are
+# identity at this exactness level and are unwrapped at plan time.
+DISTINCT_SKETCH_FNS = ("approx_count_distinct", "ndv", "bitmap_union_count",
+                       "hll_union_agg", "multi_distinct_count")
+AGG_FN_NAMES = ("avg",) + DISTINCT_SKETCH_FNS + tuple(AGG_NAME_MAP)
 
 WINDOW_FN_NAMES = ("row_number", "rank", "dense_rank", "percent_rank",
                    "cume_dist", "ntile", "lag", "lead", "first_value",
@@ -1366,13 +1373,19 @@ class Planner:
                 self._agg_map[id(node)] = self._agg_map[id(dup)]
                 continue
             planned_nodes.append(node)
-            if node.distinct or node.name == "approx_count_distinct":
-                # approx_count_distinct is answered exactly via the same
-                # two-level distinct aggregation (the HLL sketch of the
-                # reference trades accuracy for memory; group state here is
-                # sort-segmented, so exact costs the same)
+            if node.distinct or node.name in DISTINCT_SKETCH_FNS:
+                # the whole distinct-cardinality family (count(distinct),
+                # ndv, approx_count_distinct, bitmap_union_count(to_bitmap),
+                # hll_union_agg(hll_hash)) is answered exactly via two-level
+                # distinct aggregation — the reference's sketches trade
+                # accuracy for memory; group state here is sort-segmented,
+                # so exact costs the same
+                arg_ast = node.args[0]
+                if (isinstance(arg_ast, ast.Func)
+                        and arg_ast.name in ("to_bitmap", "hll_hash")):
+                    arg_ast = arg_ast.args[0]
                 arg = _gen("d")
-                pre_cols[arg] = b.bind(node.args[0])
+                pre_cols[arg] = b.bind(arg_ast)
                 out = _gen("cd")
                 distinct_aggs.append((node, arg, out))
                 self._agg_map[id(node)] = ("col", out)

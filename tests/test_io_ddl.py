@@ -67,3 +67,24 @@ def test_session_ddl():
     s.sql("drop table big")
     with pytest.raises(KeyError):
         s.sql("select * from big")
+
+
+def test_read_parquet_pipelined(tmp_path, tpch_tables):
+    """Row-group-pipelined ingest decodes to the same Table as the one-shot
+    reader (P11 async-scan analog)."""
+    import pyarrow.parquet as pq
+    from starrocks_tpu.io.parquet_io import (read_parquet,
+                                             read_parquet_pipelined,
+                                             write_parquet)
+
+    path = str(tmp_path / "orders.parquet")
+    # small row groups force the multi-group pipeline
+    t = tpch_tables["orders"]
+    write_parquet(t, path)
+    tab = pq.read_table(path)
+    pq.write_table(tab, path, row_group_size=max(64, tab.num_rows // 7))
+    assert pq.ParquetFile(path).num_row_groups > 1
+
+    a = read_parquet(path).to_pandas()
+    b = read_parquet_pipelined(path).to_pandas()
+    assert a.equals(b)

@@ -103,3 +103,24 @@ def test_sql_stat_aggs(data):
     np.testing.assert_allclose(got.iloc[:, 3].to_numpy(),
                                g.quantile(0.75).to_numpy(), rtol=1e-12)
     assert got.iloc[:, 4].tolist() == [1] * 7
+
+
+def test_distinct_sketch_family(tpch_tables):
+    """ndv / bitmap_union_count(to_bitmap) / hll_union_agg(hll_hash) all
+    answer exactly what count(distinct) answers (the reference's sketch
+    aggregates, be/src/types/hll.h + bitmap functions)."""
+    from starrocks_tpu.exec.session import Session
+    sess = Session(dict(tpch_tables))
+    base = sess.sql("select count(distinct l_suppkey) c from lineitem").iloc[0, 0]
+    for fn in ["ndv(l_suppkey)", "approx_count_distinct(l_suppkey)",
+               "bitmap_union_count(to_bitmap(l_suppkey))",
+               "hll_union_agg(hll_hash(l_suppkey))",
+               "multi_distinct_count(l_suppkey)"]:
+        got = sess.sql(f"select {fn} c from lineitem").iloc[0, 0]
+        assert got == base, fn
+    # grouped form
+    a = sess.sql("select l_returnflag, ndv(l_suppkey) c from lineitem"
+                 " group by l_returnflag order by l_returnflag")
+    b = sess.sql("select l_returnflag, count(distinct l_suppkey) c"
+                 " from lineitem group by l_returnflag order by l_returnflag")
+    assert a.equals(b)
