@@ -57,6 +57,12 @@ class ExecContext:
         # referenced from several joins (the reference's CTE reuse,
         # MultiCastDataStreamSink analog) — it must run once per execution
         self.results: dict[int, Table] = {}
+        # deferred correctness flags: on warm runs (sizes already converged)
+        # nodes append device-scalar overflow/fit flags here instead of
+        # forcing a host sync each — execute() reads them ALL in one
+        # round trip at the end and retries if any fired. The relay round
+        # trip is ~30ms; per-op checks made it O(ops) per query.
+        self.deferred: list = []
 
     # -- sizing ------------------------------------------------------------
     def sizes(self, node: "PlanNode", defaults: tuple) -> tuple:
@@ -91,11 +97,25 @@ class ExecContext:
         if (not self.eager or not CONFIG.enable_compaction
                 or t.live is None or t.nrows < CONFIG.compaction_min_rows):
             return t
+        from starrocks_tpu.column.column import compact_table
+        ckey = (node.node_id, f"compact:{tag}")
+        m = self.capacities.get(ckey)
+        if m is not None:
+            # warm path: reuse the fitted size without a live-count readback;
+            # a deferred fit-flag catches data that outgrew it
+            if m == 0:                  # previously decided "don't compact"
+                return t
+            def kernel(t):
+                return compact_table(t, m), _live_count(t.live) > m
+            out, flag = self.op(node, kernel, t, key=("cfit", tag, m))
+            self.deferred.append((ckey, flag))
+            return out
         n_live = int(_live_count(t.live))
         m = max(1 << max(n_live - 1, 1).bit_length(), CONFIG.compaction_floor)
         if m * 2 > t.nrows:
+            self.capacities[ckey] = 0
             return t
-        from starrocks_tpu.column.column import compact_table
+        self.capacities[ckey] = m
         return self.op(node, lambda t: compact_table(t, m), t, key=(tag, m))
 
     def run_sized(self, node: "PlanNode", make_fn, args, defaults: tuple):
@@ -108,6 +128,14 @@ class ExecContext:
             for i, f in enumerate(flags):
                 self.overflows[(node.node_id, i)] = f
                 self.used_sizes[(node.node_id, i)] = sizes[i]
+            return out
+        if all((node.node_id, i) in self.capacities
+               for i in range(len(defaults))):
+            # warm path: converged sizes from a prior execution — run once,
+            # defer the overflow check to the end-of-query batch readback
+            out, flags = self.op(node, make_fn(sizes), *args, key=sizes)
+            for i, f in enumerate(flags):
+                self.deferred.append(((node.node_id, i), f))
             return out
         for _ in range(CONFIG.max_capacity_retries):
             out, flags = self.op(node, make_fn(sizes), *args, key=sizes)
@@ -762,11 +790,29 @@ class Limit(PlanNode):
 
 def execute(plan: PlanNode, tables: dict[str, Table], max_retries: int = None) -> Table:
     """Operator-at-a-time eager execution: each node runs as its own jitted
-    module (module docstring explains why). Capacity retries happen inside
-    the nodes; converged sizes are remembered on the plan for reuse."""
-    ctx = ExecContext(tables, dict(getattr(plan, "_converged_caps", {})),
-                      eager=True)
-    out = plan.run(ctx)
+    module (module docstring explains why).
+
+    Cold runs converge capacities with per-node sync-retry (compile time
+    dominates anyway). Warm runs dispatch every node asynchronously, then
+    validate ALL deferred overflow/fit flags in ONE host round trip; if any
+    fired (the data changed under a cached size), the stale entries are
+    dropped and the query reruns with fresh fitting."""
+    from starrocks_tpu.config import CONFIG
+    if max_retries is None:
+        max_retries = CONFIG.max_capacity_retries
+    caps = dict(getattr(plan, "_converged_caps", {}))
+    for _ in range(max_retries):
+        ctx = ExecContext(tables, caps, eager=True)
+        out = plan.run(ctx)
+        if not ctx.deferred:
+            break
+        flags = jax.device_get(jnp.stack([f for _, f in ctx.deferred]))
+        bad = [k for (k, _), f in zip(ctx.deferred, flags) if bool(f)]
+        if not bad:
+            break
+        for k in bad:       # refit from scratch on the next pass
+            ctx.capacities.pop(k, None)
+        caps = ctx.capacities
     plan._converged_caps = dict(ctx.capacities)
     return out
 
