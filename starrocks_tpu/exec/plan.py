@@ -203,6 +203,42 @@ class Scan(PlanNode):
 
 
 @dataclasses.dataclass(eq=False)
+class BlockScan(PlanNode):
+    """Scan only the blocks a plan-time zone-map check kept (the reference's
+    zonemap pruning, be/src/storage/rowset/segment_iterator.cpp:220
+    _get_row_ranges_by_zone_map). Predicate literals are trace-time
+    constants here, so pruning bakes into the compiled program as a static
+    gather of the surviving blocks — smaller static shapes, not masks."""
+    table: str
+    blocks: tuple[int, ...]
+    block_rows: int
+    columns: Optional[tuple[str, ...]] = None
+
+    def run(self, ctx):
+        t = ctx.tables[self.table]
+        if self.columns is not None:
+            t = t.select(list(self.columns))
+        B = self.block_rows
+
+        def kernel(t):
+            n = t.nrows
+            idx = (jnp.asarray(self.blocks, jnp.int32)[:, None] * B
+                   + jnp.arange(B, dtype=jnp.int32)[None, :]).reshape(-1)
+            inb = idx < n
+            safe = jnp.where(inb, idx, 0)
+            cols = {}
+            for name, c in t.columns.items():
+                cols[name] = Column(c.data[safe],
+                                    None if c.valid is None
+                                    else c.valid[safe] & inb,
+                                    c.dtype, c.dict_id)
+            live = inb if t.live is None else (t.live[safe] & inb)
+            return Table(columns=cols, live=live)
+
+        return ctx.op(self, kernel, t)
+
+
+@dataclasses.dataclass(eq=False)
 class Filter(PlanNode):
     child: PlanNode
     predicate: Expr

@@ -364,11 +364,28 @@ def generate(sf: float = 0.01, seed: int = 19920401) -> dict[str, dict[str, np.n
     return t
 
 
-def to_tables(raw: dict[str, dict[str, np.ndarray]]) -> dict[str, Table]:
-    """Convert generated numpy columns into engine Tables."""
+# cluster (sort-at-load) keys per the reference's benchmark DDL
+# (docs/en/benchmarking/TPC-H_Benchmarking.md DUPLICATE KEY clauses):
+# physically ordering fact rows by date makes zone maps selective for the
+# date-range predicates every TPC-H query carries
+CLUSTER_KEYS = {
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def to_tables(raw: dict[str, dict[str, np.ndarray]],
+              cluster: dict | None = None) -> dict[str, Table]:
+    """Convert generated numpy columns into engine Tables; fact tables are
+    cluster-sorted host-side first (the sort-key/DUPLICATE KEY analog)."""
     out = {}
+    cluster = CLUSTER_KEYS if cluster is None else cluster
     for tname, cols in raw.items():
         schema = SCHEMAS[tname]
+        keys = cluster.get(tname)
+        if keys:
+            order = np.lexsort([cols[k] for k in reversed(keys)])
+            cols = {c: v[order] for c, v in cols.items()}
         out[tname] = Table(
             columns={
                 cname: Column.from_numpy(cols[cname], schema[cname])

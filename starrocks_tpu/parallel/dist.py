@@ -183,6 +183,17 @@ class DistExecutor:
             t = t.select(list(node.columns))
         return DistTable(t, dt.part_keys, dt.replicated)
 
+    def _run_BlockScan(self, node) -> DistTable:
+        # zone-map block ids are computed against the global row order; a
+        # hash-placed shard has its own — fall back to the full shard scan
+        # (the following Filter keeps semantics; pruning is a single-chip
+        # optimization for now)
+        dt = self.dist[node.table]
+        t = dt.table
+        if node.columns is not None:
+            t = t.select(list(node.columns))
+        return DistTable(t, dt.part_keys, dt.replicated)
+
     def _run_Filter(self, node: Filter) -> DistTable:
         dt = self.run(node.child)
         p = node.predicate.eval(dt.table)

@@ -31,6 +31,15 @@ class TableMeta:
     unique_keys: list[tuple[str, ...]]
     size: int
     stats: dict[str, ColumnStats] = dataclasses.field(default_factory=dict)
+    # per-block [min, max] per column (zone maps, the reference's
+    # zonemap index be/src/storage/rowset/zone_map_index.h) — host numpy
+    # in storage units; pays off on cluster-sorted columns
+    zone_maps: dict[str, tuple] = dataclasses.field(default_factory=dict)
+    block_rows: int = 0
+
+
+ZONE_BLOCK_ROWS = 1 << 16
+ZONE_MIN_BLOCKS = 8
 
 
 TPCH_UNIQUE_KEYS = {
@@ -104,11 +113,56 @@ class Catalog:
                         mn = mx = None
                     stats[cname] = ColumnStats(ndv=max(int(ndv), 1),
                                                min=mn, max=mx)
+            zone_maps, block_rows = {}, 0
+            if collect_stats and t.nrows >= ZONE_MIN_BLOCKS * ZONE_BLOCK_ROWS:
+                zone_maps, block_rows = _collect_zone_maps(t)
             cat.add(TableMeta(
                 name=name,
                 schema={c: col.dtype for c, col in t.columns.items()},
                 unique_keys=uk.get(name, []),
                 size=t.nrows,
                 stats=stats,
+                zone_maps=zone_maps,
+                block_rows=block_rows,
             ))
         return cat
+
+
+def _collect_zone_maps(t: Table):
+    """Per-block min/max on device; only the tiny (nblocks,) summaries cross
+    to host. Strings participate via dict codes (sorted dictionaries keep
+    code order == lexicographic order)."""
+    import jax
+    import jax.numpy as jnp
+
+    B = ZONE_BLOCK_ROWS
+    n = t.nrows
+    nb = (n + B - 1) // B
+    pad = nb * B - n
+
+    def reduce_all(tt):
+        out = {}
+        for cname, col in tt.columns.items():
+            d = col.data
+            if d.dtype.kind not in "iu" and not jnp.issubdtype(
+                    d.dtype, jnp.integer):
+                continue
+            lo_sent = jnp.iinfo(d.dtype).max
+            hi_sent = jnp.iinfo(d.dtype).min
+            dead = jnp.zeros((n,), jnp.bool_) if col.valid is None \
+                else ~col.valid
+            if tt.live is not None:
+                dead = dead | ~tt.live
+            dpad = jnp.concatenate(
+                [jnp.where(dead, lo_sent, d), jnp.full((pad,), lo_sent, d.dtype)])
+            mins = dpad.reshape(nb, B).min(axis=1)
+            dpad = jnp.concatenate(
+                [jnp.where(dead, hi_sent, d), jnp.full((pad,), hi_sent, d.dtype)])
+            maxs = dpad.reshape(nb, B).max(axis=1)
+            out[cname] = (mins, maxs)
+        return out
+
+    dev = jax.jit(reduce_all)(t)
+    import numpy as np
+    return ({c: (np.asarray(mn), np.asarray(mx)) for c, (mn, mx) in dev.items()},
+            B)

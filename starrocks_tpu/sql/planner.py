@@ -64,6 +64,9 @@ class Relation:
     # cross-join as broadcasts (the reference plans these as a 1-row
     # cross join, e.g. TPC-DS q28/q61/q88/q90)
     single_row: bool = False
+    # base table name when this relation is a direct table reference
+    # (enables zone-map pruning of pushdown predicates)
+    base: Optional[str] = None
 
     @property
     def aliases(self):
@@ -506,7 +509,7 @@ class Planner:
         else:
             cmap = {c: c for c in meta.schema}
             uks = list(meta.unique_keys)
-        return Relation(plan, {alias: cmap}, uks, meta.size)
+        return Relation(plan, {alias: cmap}, uks, meta.size, base=ref.name)
 
     # -- main --------------------------------------------------------------------
     def plan_stmt(self, stmt, outer_scope: Optional[Scope] = None) -> Relation:
@@ -632,6 +635,8 @@ class Planner:
                 pending.append((idxs, c))
 
         for i, preds in pushdowns.items():
+            if preds and rels[i].base is not None:
+                rels[i] = self._apply_zone_maps(rels[i], preds)
             for p in preds:
                 b = Binder(Scope([rels[i]], parent=outer_scope))
                 rels[i] = rels[i].filtered(b.bind(p))
@@ -675,6 +680,95 @@ class Planner:
                     if r is rel:
                         idxs.add(i)
         return idxs
+
+    def _apply_zone_maps(self, rel: Relation, preds) -> Relation:
+        """Plan-time block pruning (zonemap index analog,
+        be/src/storage/rowset/segment_iterator.cpp:220): conjuncts with
+        literal bounds knock out blocks whose [min,max] cannot satisfy them.
+        Pays off on cluster-sorted columns; predicate literals are plan-time
+        constants, so the surviving block list compiles in statically."""
+        meta = self.catalog.get(rel.base)
+        if not meta.zone_maps:
+            return rel
+        import numpy as np
+        nb = len(next(iter(meta.zone_maps.values()))[0])
+        keep = np.ones(nb, bool)
+
+        def lit_value(node, col_dtype):
+            node = fold_const(node)
+            if not isinstance(node, ast.Lit):
+                return None
+            if node.kind == "int":
+                v = node.value
+                if col_dtype.is_decimal:
+                    v *= 10 ** col_dtype.scale
+                return v
+            if node.kind == "decimal":
+                if not col_dtype.is_decimal:
+                    return None
+                return node.value * 10 ** (col_dtype.scale - node.scale) \
+                    if col_dtype.scale >= node.scale else None
+            if node.kind == "date":
+                return node.value
+            return None
+
+        for p in preds:
+            cmp_, col, lo, hi = None, None, None, None
+            if (isinstance(p, ast.BinOp)
+                    and p.op in ("=", "<", "<=", ">", ">=")):
+                l, r = fold_const(p.left), fold_const(p.right)
+                if isinstance(l, ast.Col) and isinstance(r, ast.Lit):
+                    col, op, lit = l, p.op, r
+                elif isinstance(r, ast.Col) and isinstance(l, ast.Lit):
+                    col, op, lit = r, _flip_op(p.op), l
+                else:
+                    continue
+                if col.name not in meta.zone_maps:
+                    continue
+                v = lit_value(lit, meta.schema[col.name])
+                if v is None:
+                    continue
+                mins, maxs = meta.zone_maps[col.name]
+                if op == "=":
+                    keep &= (mins <= v) & (v <= maxs)
+                elif op in ("<", "<="):
+                    keep &= mins <= v if op == "<=" else mins < v
+                else:
+                    keep &= maxs >= v if op == ">=" else maxs > v
+            elif isinstance(p, ast.BetweenExpr) and not p.negated:
+                e = fold_const(p.expr)
+                if not isinstance(e, ast.Col) or e.name not in meta.zone_maps:
+                    continue
+                lo = lit_value(p.lo, meta.schema[e.name])
+                hi = lit_value(p.hi, meta.schema[e.name])
+                if lo is None or hi is None:
+                    continue
+                mins, maxs = meta.zone_maps[e.name]
+                keep &= (maxs >= lo) & (mins <= hi)
+
+        frac = keep.mean() if nb else 1.0
+        if frac > 0.75:
+            return rel
+        blocks = tuple(int(b) for b in np.nonzero(keep)[0])
+        if not blocks:
+            blocks = (0,)          # degenerate: keep one block (filter
+            #                        still applies; empty static shapes are
+            #                        more trouble than one dead block)
+        from starrocks_tpu.exec.plan import BlockScan
+
+        def swap(plan):
+            if isinstance(plan, Scan):
+                return BlockScan(plan.table, blocks, meta.block_rows,
+                                 plan.columns)
+            if isinstance(plan, Project) and isinstance(plan.child, Scan):
+                return Project(swap(plan.child), plan.outputs)
+            return None
+
+        new_plan = swap(rel.plan)
+        if new_plan is None:
+            return rel
+        est = max(1, int(rel.size * frac))
+        return dataclasses.replace(rel, plan=new_plan, size=est)
 
     def _join_key_ref(self, rels, i, expr, outer_scope) -> ast.Col:
         """Resolve a join-key expression on rels[i] to a column reference,

@@ -65,3 +65,37 @@ def test_q6_exact(tpch_tables, tpch_frames):
     got = int(q6(li))  # scale-4 integer revenue
     want = float(golden.q6(tpch_frames).revenue[0])  # decoded dollars
     assert got == round(want * 1e4)
+
+
+def test_zone_map_pruning_exact():
+    """Zone-map block pruning (BlockScan) returns the exact same rows as the
+    full scan, and q6's tight shipdate range actually prunes blocks."""
+    import jax
+    from starrocks_tpu.exec.session import Session
+    from starrocks_tpu.exec.plan import BlockScan
+    from starrocks_tpu.io import tpch
+    from starrocks_tpu.sql.tpch_sql import QUERIES
+    from starrocks_tpu.sql import catalog as C
+
+    old = C.ZONE_BLOCK_ROWS
+    C.ZONE_BLOCK_ROWS = 1 << 12
+    try:
+        raw = tpch.generate(sf=0.02)
+        pruned = Session(tpch.to_tables(raw))
+        meta = pruned.catalog.get("lineitem")
+        assert meta.zone_maps and meta.block_rows == 1 << 12
+        # identical session with zone maps stripped = full scans
+        full = Session(dict(pruned.tables))
+        for m in full.catalog.tables.values():
+            m.zone_maps = {}
+        for name in ["q1", "q6", "q14", "q15", "q20"]:
+            a = pruned.sql(QUERIES[name])
+            b = full.sql(QUERIES[name])
+            assert a.equals(b), name
+        plan = pruned.plan(QUERIES["q6"])
+        scans = [n for n in plan.walk() if isinstance(n, BlockScan)]
+        assert scans, "q6 should prune via BlockScan"
+        nb = len(next(iter(meta.zone_maps.values()))[0])
+        assert len(scans[0].blocks) < nb, "q6 range should drop blocks"
+    finally:
+        C.ZONE_BLOCK_ROWS = old
