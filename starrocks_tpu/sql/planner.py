@@ -749,11 +749,21 @@ class Planner:
         frac = keep.mean() if nb else 1.0
         if frac > 0.75:
             return rel
-        blocks = tuple(int(b) for b in np.nonzero(keep)[0])
+        blocks = [int(b) for b in np.nonzero(keep)[0]]
         if not blocks:
-            blocks = (0,)          # degenerate: keep one block (filter
+            blocks = [0]           # degenerate: keep one block (filter
             #                        still applies; empty static shapes are
             #                        more trouble than one dead block)
+        # pad the kept count to a power of two with out-of-range sentinel
+        # blocks (their rows land dead) so BlockScan output shapes collapse
+        # onto ~log(nb) sizes — the same pow2 shape discipline that keeps
+        # the persistent compile cache effective for sorts/joins
+        target = 1 << (len(blocks) - 1).bit_length()
+        if target < nb:            # never exceed the unpruned block count
+            blocks += [nb + 1] * (target - len(blocks))
+        else:
+            return rel             # padding would reach full size anyway
+        blocks = tuple(blocks)
         from starrocks_tpu.exec.plan import BlockScan
 
         def swap(plan):
