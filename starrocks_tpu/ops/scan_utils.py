@@ -62,26 +62,30 @@ def seg_scan(op, flag, value, identity):
     return _seg_scan_pairs(combine, flag, value, identity)
 
 
-def _seg_scan_pairs(combine, flag, value, fill, block: int = _BLOCK):
+def _seg_scan_pairs(combine, flag, value, fill):
+    """Flat segmented Hillis-Steele: log2(n) shift+combine steps.
+
+    The earlier two-level formulation (reshape to (nblocks, block) +
+    lax.associative_scan over pairs) compiled in SECONDS for each piece in
+    isolation but took the TPU compiler >15 MINUTES fused at engine sizes
+    (measured at 6M rows; the reshape feeding the pair scan is implicated —
+    optimization_barrier did not help). The flat doubling form is log(n)
+    unrolled slices + elementwise combines: ~2s to compile at 6M and
+    HBM-bound to run. n·log(n) traffic instead of 2n is the right trade —
+    a few ms of extra bandwidth vs minutes of compile.
+    """
     n = value.shape[0]
-    f, _ = _pad_blocks(flag.astype(jnp.bool_), block, False)
-    v, _ = _pad_blocks(value, block, fill)
-    # in-block inclusive scan (axis 1) — small windows, VMEM-safe
-    bf, bv = jax.lax.associative_scan(combine, (f, v), axis=1)
-    # cross-block carry: combine block summaries (last element of each block)
-    cf, cv = bf[:, -1], bv[:, -1]
-    sf, sv = jax.lax.associative_scan(combine, (cf, cv))
-    # exclusive carry per block
-    ef = jnp.concatenate([jnp.zeros((1,), jnp.bool_), sf[:-1]])
-    ev = jnp.concatenate([jnp.full((1,), fill, value.dtype), sv[:-1]])
-    # apply carry: rows before the block's first flag take the carried value
-    out = jnp.where(bf, bv, _apply(combine, ef[:, None], ev[:, None], bf, bv))
-    return out.reshape(-1)[:n]
-
-
-def _apply(combine, ef, ev, bf, bv):
-    _, v = combine((ef, ev), (bf, bv))
-    return v
+    f = flag.astype(jnp.bool_)
+    o = value
+    d = 1
+    while d < n:
+        # shifted-in head rows carry (flag=True, identity): they never
+        # contribute across the array boundary
+        f_s = jnp.concatenate([jnp.ones((d,), jnp.bool_), f[:-d]])
+        o_s = jnp.concatenate([jnp.full((d,), fill, o.dtype), o[:-d]])
+        f, o = combine((f_s, o_s), (f, o))
+        d *= 2
+    return o
 
 
 def seg_sum(flag, value):
