@@ -378,6 +378,7 @@ def to_tables(raw: dict[str, dict[str, np.ndarray]],
               cluster: dict | None = None) -> dict[str, Table]:
     """Convert generated numpy columns into engine Tables; fact tables are
     cluster-sorted host-side first (the sort-key/DUPLICATE KEY analog)."""
+    from starrocks_tpu.column import dtypes as _dt
     out = {}
     cluster = CLUSTER_KEYS if cluster is None else cluster
     for tname, cols in raw.items():
@@ -386,12 +387,17 @@ def to_tables(raw: dict[str, dict[str, np.ndarray]],
         if keys:
             order = np.lexsort([cols[k] for k in reversed(keys)])
             cols = {c: v[order] for c, v in cols.items()}
-        out[tname] = Table(
-            columns={
-                cname: Column.from_numpy(cols[cname], schema[cname])
-                for cname in schema
-            }
-        )
+        columns = {}
+        for cname in schema:
+            arr, dtype = cols[cname], schema[cname]
+            # join/group keys that fit int32 load narrow: halves the
+            # bit-packed sort passes in merge joins and the gather traffic
+            # of carried columns (TPC-H keys fit up to ~SF300)
+            if (dtype.kind is _dt.TypeKind.INT64 and cname.endswith("key")
+                    and arr.size and arr.max() < 2**31 and arr.min() >= 0):
+                arr, dtype = arr.astype(np.int32), _dt.INT32
+            columns[cname] = Column.from_numpy(arr, dtype)
+        out[tname] = Table(columns=columns)
     return out
 
 
