@@ -1080,14 +1080,35 @@ _DT_MAP = {
 }
 
 
+# fact tables cluster-sort on their date surrogate (the benchmark DDL's
+# sort key) so date-range zone maps stay selective
+CLUSTER_KEYS = {
+    "store_sales": "ss_sold_date_sk", "catalog_sales": "cs_sold_date_sk",
+    "web_sales": "ws_sold_date_sk", "store_returns": "sr_returned_date_sk",
+    "catalog_returns": "cr_returned_date_sk",
+    "web_returns": "wr_returned_date_sk", "inventory": "inv_date_sk",
+}
+
+
 def to_tables(raw: dict) -> dict[str, Table]:
+    import numpy as np
+    from starrocks_tpu.column import dtypes as _dt
     out = {}
     for tname, cols in raw.items():
         schema = dict(SCHEMA[tname])
-        out[tname] = Table(columns={
-            cname: Column.from_numpy(arr, _DT_MAP[schema[cname]])
-            for cname, arr in cols.items()
-        })
+        ck = CLUSTER_KEYS.get(tname)
+        if ck and ck in cols:
+            order = np.argsort(cols[ck], kind="stable")
+            cols = {c: v[order] for c, v in cols.items()}
+        columns = {}
+        for cname, arr in cols.items():
+            dtype = _DT_MAP[schema[cname]]
+            # surrogate keys narrow to int32 (halves sort passes / traffic)
+            if (dtype.kind is _dt.TypeKind.INT64 and cname.endswith("_sk")
+                    and arr.size and arr.max() < 2**31 and arr.min() >= -1):
+                arr, dtype = arr.astype(np.int32), _dt.INT32
+            columns[cname] = Column.from_numpy(arr, dtype)
+        out[tname] = Table(columns=columns)
     return out
 
 
