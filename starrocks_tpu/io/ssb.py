@@ -100,12 +100,20 @@ _TYPES = {
 
 
 def to_table(raw: dict[str, np.ndarray]) -> Table:
+    # cluster-sort by order date (the flat-table sort key): SSB's
+    # d_year/yearmonth filters prune via zone maps on the sorted column
+    if "lo_orderdate" in raw:
+        order = np.argsort(raw["lo_orderdate"], kind="stable")
+        raw = {c: v[order] for c, v in raw.items()}
     cols = {}
     for name, arr in raw.items():
         if arr.dtype.kind in ("U", "O", "S"):
             cols[name] = Column.from_numpy(arr.astype(str), dt.STRING)
         elif name in _TYPES:
             cols[name] = Column.from_numpy(arr, _TYPES[name])
+        elif (arr.dtype.kind == "i" and name.endswith("key")
+                and arr.size and 0 <= arr.min() and arr.max() < 2**31):
+            cols[name] = Column.from_numpy(arr.astype(np.int32), dt.INT32)
         else:
             cols[name] = Column.from_numpy(arr, dt.INT64)
     return Table(columns=cols)
