@@ -383,7 +383,7 @@ class HashJoin(PlanNode):
             # build set is empty (null-aware-left-anti, hash_joiner.h).
             probe_cols, build_cols = self._keys(p, b)
             bt = hj.build(build_cols, b.live_mask(), cap)
-            matched, _ = hj.lookup(bt, probe_cols, p.live_mask())
+            matched, _, povf = hj.lookup(bt, probe_cols, p.live_mask())
             blive = b.live_mask()
             bnull = jnp.zeros((b.nrows,), jnp.bool_)
             for c in build_cols:
@@ -396,7 +396,7 @@ class HashJoin(PlanNode):
                 if c.valid is not None:
                     pnull = pnull | ~c.valid
             keep = ~matched & ~build_has_null & (~pnull | ~build_nonempty)
-            return p.filter(keep), (bt.overflow,)
+            return p.filter(keep), (povf,)
 
         return kernel
 
@@ -413,8 +413,7 @@ class HashJoin(PlanNode):
                 overflow = jnp.zeros((), jnp.bool_)
             else:
                 bt = hj.build(build_cols, b.live_mask(), cap)
-                overflow = bt.overflow
-                matched, row = hj.lookup(bt, probe_cols, p.live_mask())
+                matched, row, overflow = hj.lookup(bt, probe_cols, p.live_mask())
             if self.join_type in ("right_semi", "right_anti", "right_outer",
                                   "full_outer"):
                 flags = hj.build_match_flags(row, matched & p.live_mask(),
@@ -450,9 +449,9 @@ class HashJoin(PlanNode):
         def kernel(p, b):
             probe_cols, build_cols = self._keys(p, b)
             bt = hj.build(build_cols, b.live_mask(), cap)
-            matched, _ = hj.lookup(bt, probe_cols, p.live_mask())
+            matched, _, povf = hj.lookup(bt, probe_cols, p.live_mask())
             keep = matched if self.join_type == "semi" else ~matched
-            return p.filter(keep), (bt.overflow,)
+            return p.filter(keep), (povf,)
 
         return kernel
 
@@ -465,9 +464,9 @@ class HashJoin(PlanNode):
             # into a probe-keys table).
             probe_cols, build_cols = self._keys(p, b)
             pt = hj.build(probe_cols, p.live_mask(), pcap)
-            bmatched, _ = hj.lookup(pt, build_cols, b.live_mask())
+            bmatched, _, povf = hj.lookup(pt, build_cols, b.live_mask())
             keep = bmatched if self.join_type == "right_semi" else ~bmatched
-            return b.filter(keep), (pt.overflow,)
+            return b.filter(keep), (povf,)
 
         return kernel
 
@@ -495,7 +494,8 @@ class HashJoin(PlanNode):
                         out = out.with_column(name, b[name].gather(bi))
                 else:  # full_outer: keep unmatched probe rows (k=0 lane) w/ NULLs
                     first_lane = (jnp.arange(pi.shape[0]) % fanout) == 0
-                    probe_matched, _ = hj.lookup(bt, probe_cols, p.live_mask())
+                    probe_matched, _, _ = hj.lookup(bt, probe_cols,
+                                                    p.live_mask())
                     keep = ok | (first_lane
                                  & ~probe_matched[jnp.clip(pi, 0, p.nrows - 1)])
                     out = out.with_live(out.live_mask() & keep)
@@ -507,7 +507,7 @@ class HashJoin(PlanNode):
                 out = p.gather(pi, None)
                 # keep one row per unmatched probe row (k=0 lane), NULL build
                 first_lane = (jnp.arange(pi.shape[0]) % fanout) == 0
-                probe_matched, _ = hj.lookup(bt, probe_cols, p.live_mask())
+                probe_matched, _, _ = hj.lookup(bt, probe_cols, p.live_mask())
                 keep = ok | (first_lane & ~probe_matched[pi])
                 out = out.with_live(out.live_mask() & keep)
                 for name in self.build_cols:
@@ -665,9 +665,10 @@ class SetOp(PlanNode):
             rtab = Table(columns=rcols, live=rt.live)
             dl = _ha.groupby(ltab, tuple(lnames), ())
             bt = _hj.build([rtab[n] for n in lnames], rtab.live_mask(), cap)
-            matched, _ = _hj.lookup(bt, [dl[n] for n in lnames], dl.live_mask())
+            matched, _, povf = _hj.lookup(bt, [dl[n] for n in lnames],
+                                          dl.live_mask())
             keep = matched if self.kind == "intersect" else ~matched
-            return dl.filter(keep), (bt.overflow,)
+            return dl.filter(keep), (povf,)
 
         return kernel
 

@@ -101,8 +101,20 @@ def build(key_cols: Sequence[Column], live: jnp.ndarray, capacity: int) -> Build
     return BuildTable(owner, next_row, dup_count, overflow, key_cols, capacity)
 
 
+# longest probe walk a lookup tolerates before declaring the table too
+# clustered and asking for a capacity retry. Without a tight cap, probing a
+# COMPLETELY FULL table (build overflowed) spins `capacity` iterations of
+# full-width gathers — measured: a 32k-iteration x 2M-lane loop ran long
+# enough that the TPU worker was killed mid-query (TPC-H q10).
+PROBE_CAP = 512
+
+
 def _probe_slots(bt: BuildTable, probe_cols: Sequence[Column], probe_live: jnp.ndarray):
-    """Find each probe row's first matching build row (or none)."""
+    """Find each probe row's first matching build row (or none).
+
+    Returns (matched, match_row, probe_overflow); probe_overflow means the
+    walk gave up (build table overflowed or pathologically clustered) and
+    the caller must retry with a larger capacity."""
     cap = bt.capacity
     n = probe_cols[0].data.shape[0]
     h = hashing.hash_columns(probe_cols)
@@ -115,14 +127,11 @@ def _probe_slots(bt: BuildTable, probe_cols: Sequence[Column], probe_live: jnp.n
     unresolved = probe_live & ~nullkey
     matched = jnp.zeros((n,), jnp.bool_)
     match_row = jnp.zeros((n,), jnp.int32)
+    iter_cap = min(cap, PROBE_CAP)
 
-    # iteration cap: after `cap` probes a row has seen every slot. Without it
-    # the loop never terminates when the build overflowed (table completely
-    # full, probe finds neither match nor empty slot); the overflow flag then
-    # triggers a host retry with a larger capacity.
     def cond(state):
         unresolved, _, _, _, t = state
-        return jnp.any(unresolved) & (t < cap)
+        return jnp.any(unresolved) & (t < iter_cap) & ~bt.overflow
 
     def body(state):
         unresolved, matched, match_row, slot, t = state
@@ -139,11 +148,13 @@ def _probe_slots(bt: BuildTable, probe_cols: Sequence[Column], probe_live: jnp.n
 
     unresolved, matched, match_row, _, _ = jax.lax.while_loop(
         cond, body, (unresolved, matched, match_row, slot, jnp.int32(0)))
-    return matched, match_row
+    probe_ovf = bt.overflow | jnp.any(unresolved)
+    return matched, match_row, probe_ovf
 
 
 def lookup(bt: BuildTable, probe_cols: Sequence[Column], probe_live: jnp.ndarray):
-    """Unique-build lookup join core: returns (matched (Np,), build_row (Np,)).
+    """Unique-build lookup join core: returns (matched (Np,), build_row (Np,),
+    overflow flag — retry with larger capacity when set).
 
     With duplicate build keys this returns the first row of each chain (used
     by semi/anti); use probe_expand for full many-match output.
@@ -175,7 +186,7 @@ def probe_expand(
     exchange_sink_operator.cpp:595-610).
     """
     n = probe_cols[0].data.shape[0]
-    matched, first_row = _probe_slots(bt, probe_cols, probe_live)
+    matched, first_row, probe_ovf = _probe_slots(bt, probe_cols, probe_live)
     cur = jnp.where(matched, first_row, _NO_OWNER)
     outs_build = []
     outs_valid = []
@@ -186,7 +197,7 @@ def probe_expand(
         outs_valid.append(valid)
         nxt = bt.next_row[jnp.where(valid, cur, 0)]
         cur = jnp.where(valid, nxt, _NO_OWNER)
-    truncated = jnp.any(cur != _NO_OWNER)
+    truncated = jnp.any(cur != _NO_OWNER) | probe_ovf
     build_idx = jnp.stack(outs_build, axis=1).reshape(-1)
     pair_valid = jnp.stack(outs_valid, axis=1).reshape(-1)
     probe_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), fanout_cap)

@@ -121,7 +121,7 @@ def test_salted_shuffle_join(mesh):
         (p2, b2), ovf = shuf.shuffle_salted(
             p, b, ("k",), ("bk",), "d", probe_cap=512, build_cap=128, salt=4)
         bt = hj.build([b2["bk"]], b2.live_mask(), 256)
-        matched, row = hj.lookup(bt, [p2["k"]], p2.live_mask())
+        matched, row, _ = hj.lookup(bt, [p2["k"]], p2.live_mask())
         bv = b2["bv"].data[row]
         out = p2.with_column("bv", Column(bv, matched, dt.INT64))
         out = out.with_live(out.live_mask() & matched)

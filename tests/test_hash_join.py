@@ -24,7 +24,7 @@ def test_unique_build_lookup_inner():
     @jax.jit
     def run(btab, ptab):
         b = hj.build(_cols(btab, ["k"]), btab.live_mask(), 2048)
-        matched, row = hj.lookup(b, _cols(ptab, ["k"]), ptab.live_mask())
+        matched, row, _ = hj.lookup(b, _cols(ptab, ["k"]), ptab.live_mask())
         return matched, row, b.dup_count, b.overflow
 
     matched, row, dups, overflow = run(bt_tab, pt)
@@ -52,7 +52,7 @@ def test_multi_key_and_null_keys():
         "b": Column.from_numpy(np.array([20, 10, 10, 10], np.int64), dt.INT64),
     })
     bt = hj.build(_cols(b, ["a", "b"]), b.live_mask(), 16)
-    matched, row = hj.lookup(bt, _cols(p, ["a", "b"]), p.live_mask())
+    matched, row, _ = hj.lookup(bt, _cols(p, ["a", "b"]), p.live_mask())
     np.testing.assert_array_equal(np.asarray(matched), [True, True, False, False])
     np.testing.assert_array_equal(np.asarray(row)[:2], [1, 0])
 

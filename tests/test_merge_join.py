@@ -23,7 +23,7 @@ def test_merge_lookup_matches_hash_lookup():
     bcols, pcols = _mk(bkeys), _mk(pkeys)
     m1, r1 = mj.merge_lookup(bcols, bl, pcols, pl)
     bt = hj.build(bcols, bl, 16384)
-    m2, r2 = hj.lookup(bt, pcols, pl)
+    m2, r2, _ = hj.lookup(bt, pcols, pl)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     # unique build keys -> matched rows must be identical
     np.testing.assert_array_equal(
