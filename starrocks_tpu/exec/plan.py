@@ -328,9 +328,12 @@ class HashJoin(PlanNode):
                 and self.join_type in self._RF_TYPES):
             p = ctx.op(self, self._rf_kernel, p, b, key="rf")
         p = ctx.maybe_compact(self, p, tag="cp")
-        # a build side of Nb rows can never need more than ~2*Nb slots;
-        # bound the planner's estimate by the actual (post-compaction) shape
-        cap0 = min(max(self.capacity, 16), _cap_pow2(b.nrows))
+        # size the table off the actual (post-compaction) build shape, not
+        # the planner's estimate: 2*Nb slots guarantees load factor <= 0.5
+        # even if every row is live, so build-capacity retries (each one a
+        # minutes-scale recompile at SF>=1 shapes) never happen. Slots are
+        # 4 bytes — over-allocating beats recompiling.
+        cap0 = max(16, _cap_pow2(b.nrows))
         if self.join_type == "null_aware_anti":
             return ctx.run_sized(self, self._naa_kernel, (p, b), (cap0,))
         if self.unique:
@@ -339,7 +342,7 @@ class HashJoin(PlanNode):
             return ctx.run_sized(self, self._semi_kernel, (p, b), (cap0,))
         if self.join_type in ("right_semi", "right_anti"):
             return ctx.run_sized(self, self._rsemi_kernel, (p, b),
-                                 (min(_cap_pow2(16384), _cap_pow2(p.nrows)),))
+                                 (max(16, _cap_pow2(p.nrows)),))
         return ctx.run_sized(self, self._expand_kernel, (p, b),
                              (cap0, self.fanout))
 
