@@ -50,7 +50,7 @@ def main():
     print(f"# relay round-trip {base*1e3:.1f}ms", flush=True)
 
     names = (only.split(",") if only
-             else sorted(QUERIES, key=lambda s: int(s[1:])))
+             else sorted(QUERIES, key=lambda s: (int(s[1:].rstrip('b')), s)))
     total = 0.0
     for qi, name in enumerate(names):
         if qi and qi % 12 == 0:

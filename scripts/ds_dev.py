@@ -27,7 +27,7 @@ raw = tpcds.generate(sf=0.04)
 sess = Session(tpcds.to_tables(raw))
 conn = build_db(tpcds.to_pandas(raw))
 
-names = sys.argv[1:] or sorted(QUERIES, key=lambda s: int(s[1:]))
+names = sys.argv[1:] or sorted(QUERIES, key=lambda s: (int(s[1:].rstrip('b')), s))
 fails = []
 for qi, qname in enumerate(names):
     if qi and qi % 12 == 0:

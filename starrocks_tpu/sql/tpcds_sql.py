@@ -3675,3 +3675,101 @@ GOLDEN_OVERRIDES["q75"] = QUERIES["q75"].replace(
     "cast(curr_yr.sales_cnt as real)").replace(
     "cast(prev_yr.sales_cnt as decimal(17, 2))",
     "cast(prev_yr.sales_cnt as real)")
+
+# ---- second variants of the two-part queries (14b/23b/24b/39b) ----
+
+_q14_pre2 = QUERIES["q14"].split("select channel, i_brand_id,")[0]
+QUERIES["q14b"] = _q14_pre2 + """
+select this_year.channel ty_channel, this_year.i_brand_id ty_brand,
+       this_year.i_class_id ty_class, this_year.i_category_id ty_category,
+       this_year.sales ty_sales, this_year.number_sales ty_number_sales,
+       last_year.channel ly_channel, last_year.i_brand_id ly_brand,
+       last_year.i_class_id ly_class, last_year.i_category_id ly_category,
+       last_year.sales ly_sales, last_year.number_sales ly_number_sales
+from (select 'store' channel, i_brand_id, i_class_id, i_category_id,
+             sum(ss_quantity * ss_list_price) sales, count(*) number_sales
+      from store_sales, item, date_dim
+      where ss_item_sk in (select ss_item_sk from cross_items)
+        and ss_item_sk = i_item_sk
+        and ss_sold_date_sk = d_date_sk
+        and d_week_seq = (select d_week_seq from date_dim
+                          where d_year = 1999 + 1 and d_moy = 12
+                            and d_dom = 11)
+      group by i_brand_id, i_class_id, i_category_id
+      having sum(ss_quantity * ss_list_price) >
+             (select average_sales from avg_sales)) this_year,
+     (select 'store' channel, i_brand_id, i_class_id, i_category_id,
+             sum(ss_quantity * ss_list_price) sales, count(*) number_sales
+      from store_sales, item, date_dim
+      where ss_item_sk in (select ss_item_sk from cross_items)
+        and ss_item_sk = i_item_sk
+        and ss_sold_date_sk = d_date_sk
+        and d_week_seq = (select d_week_seq from date_dim
+                          where d_year = 1999 and d_moy = 12
+                            and d_dom = 11)
+      group by i_brand_id, i_class_id, i_category_id
+      having sum(ss_quantity * ss_list_price) >
+             (select average_sales from avg_sales)) last_year
+where this_year.i_brand_id = last_year.i_brand_id
+  and this_year.i_class_id = last_year.i_class_id
+  and this_year.i_category_id = last_year.i_category_id
+order by this_year.channel, this_year.i_brand_id, this_year.i_class_id,
+         this_year.i_category_id
+limit 100
+"""
+
+_q23_pre = QUERIES["q23"].split("select sum(sales) sum_sales")[0]
+QUERIES["q23b"] = _q23_pre + """
+select c_last_name, c_first_name, sales
+from (select c_last_name, c_first_name,
+             sum(cs_quantity * cs_list_price) sales
+      from catalog_sales, customer, date_dim
+      where d_year = 2000 and d_moy = 2
+        and cs_sold_date_sk = d_date_sk
+        and cs_item_sk in (select item_sk from frequent_ss_items)
+        and cs_bill_customer_sk in
+            (select c_customer_sk from best_ss_customer)
+        and cs_bill_customer_sk = c_customer_sk
+      group by c_last_name, c_first_name
+      union all
+      select c_last_name, c_first_name,
+             sum(ws_quantity * ws_list_price) sales
+      from web_sales, customer, date_dim
+      where d_year = 2000 and d_moy = 2
+        and ws_sold_date_sk = d_date_sk
+        and ws_item_sk in (select item_sk from frequent_ss_items)
+        and ws_bill_customer_sk in
+            (select c_customer_sk from best_ss_customer)
+        and ws_bill_customer_sk = c_customer_sk
+      group by c_last_name, c_first_name) t2
+order by c_last_name, c_first_name, sales
+limit 100
+"""
+
+_q24_pre = QUERIES["q24"].split("select c_last_name, c_first_name, s_store_name, sum(netpaid) paid")[0]
+QUERIES["q24b"] = _q24_pre + """
+select c_last_name, c_first_name, s_store_name, sum(netpaid) paid
+from ssales
+where i_color = 'saddle'
+group by c_last_name, c_first_name, s_store_name
+having sum(netpaid) > (select 0.05 * avg(netpaid) from ssales)
+order by c_last_name, c_first_name, s_store_name
+"""
+
+_q39_pre = QUERIES["q39"].split("select inv1.w_warehouse_sk wsk1")[0]
+QUERIES["q39b"] = _q39_pre + """
+select inv1.w_warehouse_sk wsk1, inv1.i_item_sk isk1, inv1.d_moy moy1,
+       inv1.mean mean1, inv1.cov cov1,
+       inv2.w_warehouse_sk wsk2, inv2.i_item_sk isk2, inv2.d_moy moy2,
+       inv2.mean mean2, inv2.cov cov2
+from inv inv1, inv inv2
+where inv1.i_item_sk = inv2.i_item_sk
+  and inv1.w_warehouse_sk = inv2.w_warehouse_sk
+  and inv1.d_moy = 1
+  and inv2.d_moy = 1 + 1
+  and inv1.cov > 1.5
+order by inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy, inv1.mean,
+         inv1.cov, inv2.d_moy, inv2.mean, inv2.cov
+"""
+GOLDEN_OVERRIDES["q39b"] = _stddev_golden(
+    QUERIES["q39b"], ["inv_quantity_on_hand"])

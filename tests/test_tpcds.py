@@ -66,7 +66,7 @@ def compare(got: pd.DataFrame, want: pd.DataFrame, qname: str):
                     == w.astype(str).to_numpy()).all(), f"{qname}/{c}"
 
 
-@pytest.mark.parametrize("qname", sorted(QUERIES, key=lambda s: int(s[1:])))
+@pytest.mark.parametrize("qname", sorted(QUERIES, key=lambda s: (int(s[1:].rstrip('b')), s)))
 def test_tpcds_query(ds, qname):
     sess, conn = ds
     got = sess.sql(QUERIES[qname])
