@@ -117,7 +117,7 @@ def main():
         bcol = [Column(bk + salt, None, dtp.INT64)]
         pcol = [Column(pk + salt, None, dtp.INT64)]
         bt = hj.build(bcol, ones, 1 << 22)
-        matched, row = hj.lookup(bt, pcol, pones)
+        matched, row, _ovf = hj.lookup(bt, pcol, pones)
         return jnp.sum(matched.astype(jnp.int64)) + jnp.sum(row.astype(jnp.int64))
     try:
         dt = bench_scan(join, (bkeys, pkeys), kiter=4)

@@ -260,3 +260,17 @@ def compact_table(table: Table, m: int) -> Table:
     idx = perm[:m]
     cols = {n: c.gather(idx) for n, c in table.columns.items()}
     return Table(columns=cols, live=live[idx])
+
+
+def concat_tables(a: Table, b: Table) -> Table:
+    """Row-concatenate two tables with identical column names (positional
+    dtype coercion to the left side, like SetOp's UNION ALL kernel)."""
+    cols = {}
+    for name in a.column_names():
+        ca, cb = a[name], b[name]
+        data = jnp.concatenate([ca.data, cb.data.astype(ca.data.dtype)])
+        valid = (None if ca.valid is None and cb.valid is None else
+                 jnp.concatenate([ca.validity(), cb.validity()]))
+        cols[name] = Column(data, valid, ca.dtype, ca.dict_id)
+    live = jnp.concatenate([a.live_mask(), b.live_mask()])
+    return Table(columns=cols, live=live)

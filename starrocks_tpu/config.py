@@ -40,6 +40,25 @@ class EngineConfig:
     # bulk-loaded tables make table-version keys exact)
     enable_result_cache: bool = True
     result_cache_max_entries: int = 256
+    # --- distributed execution (parallel/dist.py) ---
+    # builds whose GLOBAL row count (shard rows x ndev) exceeds this are
+    # hash-shuffled on the join keys instead of broadcast (P4 vs P5; the
+    # FE's broadcast-vs-shuffle cost gate, HashJoinCostModel.java)
+    dist_broadcast_threshold_rows: int = 1 << 20
+    # two-phase aggregates whose per-device partial row count exceeds this
+    # use the ppermute-ring shuffle with per-step merge (P12 overlap +
+    # bounded memory: never materializes the full shuffled partial table)
+    dist_ring_agg_threshold_rows: int = 1 << 22
+    # ORDER BY without LIMIT over more global rows than this uses the
+    # range-partitioned distributed sort (sample -> splitters -> all_to_all
+    # -> local sort) instead of local-sort + gather + final sort
+    dist_range_sort_threshold_rows: int = 1 << 16
+    # ANALYZE heavy-hitter fraction above which a shuffle join gets salted
+    skew_hot_key_fraction: float = 0.3
+    # bloom runtime filter (bit array pushed to the probe side)
+    enable_bloom_rf: bool = True
+    bloom_rf_min_probe_rows: int = 1 << 15  # probe sizes worth the two passes
+    bloom_rf_bits_per_key: int = 16         # ~0.05% fp at k=2
 
 
 CONFIG = EngineConfig()

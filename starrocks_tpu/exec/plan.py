@@ -313,6 +313,11 @@ class HashJoin(PlanNode):
     capacity: int = 4096
     unique: bool = True
     fanout: int = 4
+    # distributed skew hint (P13): >1 makes a shuffle join salt the probe
+    # side across `skew_salt` devices and replicate matching build rows
+    # (annotated from ANALYZE heavy-hitter stats by parallel.dist.annotate_skew;
+    # the is_skew_join hint analog, be/src/exec/hash_joiner.h:75)
+    skew_salt: int = 1
 
     # join types where probe rows that cannot match any build key are
     # dropped from (or contribute nothing to) the output — the only types a
@@ -320,9 +325,13 @@ class HashJoin(PlanNode):
     _RF_TYPES = ("inner", "semi", "right_semi", "right_outer", "right_anti")
 
     def run(self, ctx):
+        return self.run_local(ctx, self.probe.run(ctx), self.build.run(ctx))
+
+    def run_local(self, ctx, p: Table, b: Table) -> Table:
+        """Join already-resolved probe/build tables. The single-chip run()
+        and the distributed executor (after exchange placement) both land
+        here, so every kernel/sizing change applies to both paths."""
         from starrocks_tpu.config import CONFIG
-        p = self.probe.run(ctx)
-        b = self.build.run(ctx)
         b = ctx.maybe_compact(self, b, tag="cb")
         if (ctx.eager and CONFIG.enable_runtime_filters
                 and self.join_type in self._RF_TYPES):
@@ -618,8 +627,11 @@ class SetOp(PlanNode):
     est_rows: int = 4096
 
     def run(self, ctx):
-        lt = ctx.maybe_compact(self, self.left.run(ctx), tag="cl")
-        rt = ctx.maybe_compact(self, self.right.run(ctx), tag="cr")
+        return self.run_local(ctx, self.left.run(ctx), self.right.run(ctx))
+
+    def run_local(self, ctx, lt: Table, rt: Table) -> Table:
+        lt = ctx.maybe_compact(self, lt, tag="cl")
+        rt = ctx.maybe_compact(self, rt, tag="cr")
         if self.kind in ("union_all", "union"):
             return ctx.op(self, self._union_kernel, lt, rt)
         return ctx.run_sized(self, self._setop_kernel, (lt, rt),

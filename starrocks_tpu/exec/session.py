@@ -47,6 +47,7 @@ class Session:
         plan = self.plan(text)
         if self.mesh is not None:
             from starrocks_tpu.parallel import dist as D
+            D.annotate_skew(plan, self.catalog, self.mesh.devices.size)
             return D.dist_execute(plan, self._dist_tables, self.mesh)
         from starrocks_tpu.exec.plan import execute
         return execute(plan, self.tables)

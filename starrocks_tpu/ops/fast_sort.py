@@ -1,4 +1,5 @@
-"""TPU-native large-array sort: tiled bitonic sort + merge-path rounds.
+"""TPU-native large-array sort: bit-packed keys through ONE single-operand
+padded lax.sort.
 
 Why not lax.sort directly: XLA's TPU lowering of a 1-D variadic sort compiles
 the full comparator network per instance — measured on v5e, a 4-operand
@@ -13,12 +14,11 @@ So this module reduces every engine sort to the one cheap shape:
    bits carrying the row id — stability and the output permutation for free
    (the same key-normalization trick as the reference's storage key coder,
    be/src/storage/key_coder.h, taken to its packed conclusion).
-2. `sort_packed`: pad to B x TILE with unique +inf sentinels, one
-   single-operand tiled lax.sort, then log2(B) merge-path rounds
-   (be/src/exec/sorting/merge_path.h:371 is the reference's CPU analog).
-   Every round has the SAME static shape — element ranks are found by an
-   explicit fixed-depth binary search into the partner run — so all rounds
-   run under one lax.fori_loop and compile ONCE.
+2. `sort_packed`: pad to the next power of two with unique +inf-class
+   sentinels and run ONE single-operand 1-D lax.sort. (Earlier tiled
+   bitonic/merge-path designs were measured and dropped — see the
+   sort_packed docstring for the numbers; the pow2-padded native sort is
+   the only variant that is fast to run AND amortizable to compile.)
 3. Keys wider than the packing budget (floats, unbounded ints, many keys)
    run as LSD passes of <=`width` bit chunks, each pass a `sort_packed` of
    (chunk | position) — stable, so passes compose.

@@ -137,6 +137,12 @@ TPCH_PARTITIONING: dict[str, object] = {
 _PARTIAL = {"sum": "sum", "count": "sum", "count_star": "sum", "min": "min",
             "max": "max", "any": "any"}
 
+# join types whose OUTPUT rows come from (or are flagged on) the build side;
+# these need every build row on exactly one device (or a replicated probe),
+# never a broadcast build (which would duplicate unmatched-build emission
+# per device)
+_RIGHT_FAMILY = ("right_semi", "right_anti", "right_outer", "full_outer")
+
 
 class DistExecutor:
     def __init__(self, ctx: plan_mod.ExecContext, dist_tables: dict[str, DistTable]):
@@ -225,10 +231,52 @@ class DistExecutor:
             t = t.with_column(name, e.eval(t))
         return DistTable(t, dt.part_keys, dt.replicated)
 
+    def _shuffle_join_sides(self, node: HashJoin, pdt: DistTable,
+                            bdt: DistTable) -> tuple[DistTable, DistTable]:
+        """Hash-partition BOTH join inputs on the join keys so matching rows
+        colocate — the reference's primary join exchange (HASH_PARTITIONED,
+        exchange_sink_operator.cpp:569-636), here one all_to_all per side.
+        With node.skew_salt > 1 (ANALYZE heavy-hitter annotation) the probe
+        side salts across `salt` devices and matching build rows replicate
+        (P13, the is_skew_join analog, hash_joiner.h:75)."""
+        ndev = lax.axis_size(AXIS)
+        p, b = pdt.table, bdt.table
+        # equal string keys must hash equally: unify dictionaries pre-exchange
+        for pk, bk in zip(node.left_keys, node.right_keys):
+            pc, bc = p[pk], b[bk]
+            if (pc.dtype.is_string and bc.dtype.is_string
+                    and pc.dict_id != bc.dict_id):
+                pc2, bc2 = plan_mod._unify_dicts(pc, bc)
+                p = p.with_column(pk, pc2)
+                b = b.with_column(bk, bc2)
+        salt = max(1, min(int(getattr(node, "skew_salt", 1)), ndev))
+        pkey, bkey = (node.node_id, 104), (node.node_id, 105)
+        pcap = self.ctx.capacity(pkey, 0) or max(64, (2 * p.nrows) // ndev)
+        bcap = self.ctx.capacity(bkey, 0) or max(
+            64, (2 * salt * b.nrows) // ndev)
+        self.ctx.capacities[pkey] = pcap
+        self.ctx.capacities[bkey] = bcap
+        if salt > 1 and node.join_type in ("inner", "left_outer", "semi",
+                                           "anti"):
+            (p2, b2), ovf = shuf.shuffle_salted(
+                p, b, node.left_keys, node.right_keys, AXIS, pcap, bcap, salt)
+            self.ctx.report(pkey, ovf)
+            self.ctx.report(bkey, ovf)
+            # build rows are replicated -> the result is NOT hash-partitioned
+            return (DistTable(p2, None, False), DistTable(b2, None, False))
+        p2, povf = shuf.shuffle_by_key(p, node.left_keys, AXIS, pcap)
+        b2, bovf = shuf.shuffle_by_key(b, node.right_keys, AXIS, bcap)
+        self.ctx.report(pkey, povf)
+        self.ctx.report(bkey, bovf)
+        return (DistTable(p2, node.left_keys, False),
+                DistTable(b2, node.right_keys, False))
+
     def _run_HashJoin(self, node: HashJoin) -> DistTable:
+        from starrocks_tpu.config import CONFIG
         pdt = self.run(node.probe)
         bdt = self.run(node.build)
         ndev = lax.axis_size(AXIS)
+        right_family = node.join_type in _RIGHT_FAMILY
         # local if build replicated, or both sides colocated on the join keys
         colocated = (
             self._keys_cover(pdt.part_keys, node.left_keys)
@@ -237,25 +285,53 @@ class DistExecutor:
             and [node.left_keys.index(k) for k in pdt.part_keys]
                 == [node.right_keys.index(k) for k in bdt.part_keys]
         )
-        if not (bdt.replicated or colocated):
-            if pdt.replicated:
-                # replicated probe x sharded build: keep each device's build
-                # shard, then the probe output is sharded by build match —
-                # simplest correct strategy: gather build (rare case: small)
-                bdt = DistTable(shuf.gather_rows(bdt.table, AXIS), None, True)
-            else:
-                # broadcast the build side (UNPARTITIONED exchange, P5)
-                bdt = DistTable(shuf.gather_rows(bdt.table, AXIS), None, True)
-        # after localization, reuse the single-chip join logic
-        sub = plan_mod.HashJoin.run
-        shim = _JoinShim(node, pdt.table, bdt.table)
-        out = sub(shim, self.ctx)
-        out_keys = pdt.part_keys
-        return DistTable(out, out_keys, pdt.replicated and bdt.replicated)
+        shuffled_out_keys = None
+        if not colocated:
+            if right_family:
+                # build-side match flags must be globally exact
+                if pdt.replicated and not bdt.replicated:
+                    pass            # full probe vs disjoint build shard: local
+                elif not pdt.replicated and not bdt.replicated:
+                    pdt, bdt = self._shuffle_join_sides(node, pdt, bdt)
+                elif bdt.replicated and not pdt.replicated:
+                    # replicated build + sharded probe: replicate the probe
+                    # too; every device computes the identical full join
+                    pdt = DistTable(shuf.gather_rows(pdt.table, AXIS), None,
+                                    True)
+            elif not bdt.replicated:
+                if pdt.replicated:
+                    # replicated probe x sharded build: gather the (rare,
+                    # small) build so the output stays replicated — local
+                    # probe-filtering joins (semi/anti) differ per shard
+                    bdt = DistTable(shuf.gather_rows(bdt.table, AXIS), None,
+                                    True)
+                elif (node.join_type != "null_aware_anti"
+                      and bdt.table.nrows * ndev
+                          > CONFIG.dist_broadcast_threshold_rows):
+                    # shuffle-hash join (P4): too big to broadcast.
+                    # (null-aware anti never shuffles: its build-has-NULL /
+                    # build-empty decisions are global.)
+                    pdt, bdt = self._shuffle_join_sides(node, pdt, bdt)
+                    shuffled_out_keys = pdt.part_keys
+                else:
+                    # broadcast the build side (UNPARTITIONED exchange, P5)
+                    bdt = DistTable(shuf.gather_rows(bdt.table, AXIS), None,
+                                    True)
+        # after exchange placement, the node's own local kernels run
+        out = node.run_local(self.ctx, pdt.table, bdt.table)
+        repl = pdt.replicated and bdt.replicated
+        if right_family:
+            # output carries build rows (with NULL probe keys when
+            # unmatched): no usable hash-partitioning property
+            return DistTable(out, None, repl)
+        out_keys = shuffled_out_keys if shuffled_out_keys is not None \
+            else pdt.part_keys
+        return DistTable(out, out_keys, repl)
 
     def _run_Aggregate(self, node: Aggregate) -> DistTable:
+        from starrocks_tpu.column import dtypes as dtp
+        from starrocks_tpu.config import CONFIG
         dt = self.run(node.child)
-        ndev = lax.axis_size(AXIS)
         if not node.keys:
             return self._global_agg(node, dt)
         if dt.replicated:
@@ -266,22 +342,113 @@ class DistExecutor:
             # colocated group-by: purely local, result sharded by part_keys
             return DistTable(hash_agg.groupby(dt.table, node.keys, node.aggs),
                              dt.part_keys, False)
-        # two-phase: local pre-agg -> shuffle by keys -> final merge agg
-        partial = hash_agg.groupby(dt.table, node.keys, node.aggs)
-        shuffled = self._shuffle(DistTable(partial, None, False), node.keys,
-                                 node.node_id, slot=101)
-        final_aggs = tuple(
-            AggSpec(_PARTIAL[a.fn], a.out, a.out) for a in node.aggs
-        )
-        res = hash_agg.groupby(shuffled.table, node.keys, final_aggs)
+        if any(a.fn in hash_agg.PCTL_FNS for a in node.aggs):
+            # percentile states don't merge (the reference ships full
+            # percentile_union serialized state, be/src/exprs/agg/percentile
+            # — here raw rows shuffle instead): single-phase after exchange
+            shuffled = self._shuffle(dt, node.keys, node.node_id, slot=101)
+            return DistTable(
+                hash_agg.groupby(shuffled.table, node.keys, node.aggs),
+                node.keys, False)
+        # two-phase (P8): local pre-agg -> shuffle by keys -> merge partial
+        # states (the aggregator state-merge analog, aggregator.cpp:858).
+        # var/stddev decompose into psum-mergeable moments (s1, s2, n).
+        t = dt.table
+        pre_specs: list[AggSpec] = []
+        merge_specs: list[AggSpec] = []
+        var_posts: list[tuple] = []        # (spec, s1, s2, n) column names
+        for a in node.aggs:
+            if a.fn in hash_agg.VAR_FNS:
+                c = t[a.col]
+                base = f"_mom{node.node_id}_{a.out}"
+                vf = hash_agg._as_float(c.data, c.dtype)
+                t = t.with_column(base + "v",
+                                  Column(vf, c.valid, dtp.FLOAT64))
+                t = t.with_column(base + "v2",
+                                  Column(vf * vf, c.valid, dtp.FLOAT64))
+                pre_specs += [AggSpec("sum", base + "v", base + "s1"),
+                              AggSpec("sum", base + "v2", base + "s2"),
+                              AggSpec("count", a.col, base + "n")]
+                merge_specs += [AggSpec("sum", base + "s1", base + "s1"),
+                                AggSpec("sum", base + "s2", base + "s2"),
+                                AggSpec("sum", base + "n", base + "n")]
+                var_posts.append((a, base + "s1", base + "s2", base + "n"))
+            else:
+                pre_specs.append(a)
+                merge_specs.append(AggSpec(_PARTIAL[a.fn], a.out, a.out))
+        partial = hash_agg.groupby(t, node.keys, tuple(pre_specs))
+        merge_specs = tuple(merge_specs)
+        if partial.nrows >= CONFIG.dist_ring_agg_threshold_rows:
+            # big partials: ppermute-ring exchange with per-step merge so
+            # XLA overlaps each hop's communication with the previous
+            # step's merge compute (P12, the SinkBuffer in-flight analog)
+            res = self._ring_merge(node, partial, merge_specs)
+        else:
+            shuffled = self._shuffle(DistTable(partial, None, False),
+                                     node.keys, node.node_id, slot=101)
+            res = hash_agg.groupby(shuffled.table, node.keys, merge_specs)
+        if var_posts:
+            cols = dict(res.columns)
+            for a, s1n, s2n, nnn in var_posts:
+                s1, s2 = cols.pop(s1n), cols.pop(s2n)
+                nn = cols.pop(nnn)
+                m1 = jnp.where(s1.validity(), s1.data, 0.0) \
+                    if s1.valid is not None else s1.data
+                m2 = jnp.where(s2.validity(), s2.data, 0.0) \
+                    if s2.valid is not None else s2.data
+                data, ok = hash_agg._variance_from_moments(
+                    a.fn, m1, m2, nn.data)
+                cols[a.out] = Column(data, ok, dtp.FLOAT64)
+            res = Table(columns=cols, live=res.live)
         return DistTable(res, node.keys, False)
 
+    def _ring_merge(self, node, partial: Table, merge_specs) -> Table:
+        """Merge pre-aggregated partials over a ppermute ring. Static shapes
+        grow by one bucket per hop (the liveness, not the footprint, is what
+        the per-step groupby bounds); the win is comm/compute overlap."""
+        from starrocks_tpu.column.column import concat_tables
+        ndev = lax.axis_size(AXIS)
+        key = (node.node_id, 101)
+        cap = self.ctx.capacity(key, 0)
+        if cap == 0:
+            cap = max(64, (2 * partial.nrows) // ndev)
+            self.ctx.capacities[key] = cap
+        acc, overflow = shuf.ring_shuffle_reduce(
+            partial, node.keys, AXIS, cap,
+            init_fn=lambda c: hash_agg.groupby(c, node.keys, merge_specs),
+            step_fn=lambda acc, c: hash_agg.groupby(
+                concat_tables(acc, c), node.keys, merge_specs))
+        self.ctx.report(key, overflow)
+        return acc
+
     def _global_agg(self, node: Aggregate, dt: DistTable) -> DistTable:
-        local = plan_mod._global_agg(dt.table, node.aggs)
+        from starrocks_tpu.column import dtypes as dtp
+        if not dt.replicated and any(
+                a.fn in hash_agg.PCTL_FNS for a in node.aggs):
+            # percentiles need the whole value set: gather, then local
+            dt = DistTable(shuf.gather_rows(dt.table, AXIS), None, True)
+        local = plan_mod._global_agg(
+            dt.table,
+            tuple(a for a in node.aggs if a.fn not in hash_agg.VAR_FNS)
+            if not dt.replicated else node.aggs)
         if dt.replicated:
             return DistTable(local, None, True)
+        t = dt.table
+        live = t.live_mask()
         cols = {}
         for a in node.aggs:
+            if a.fn in hash_agg.VAR_FNS:
+                # psum-merged moments (exactly the two-phase decomposition)
+                c = t[a.col]
+                mask = live if c.valid is None else (live & c.valid)
+                vf = hash_agg._as_float(c.data, c.dtype)
+                s1 = lax.psum(jnp.sum(jnp.where(mask, vf, 0.0)), AXIS)
+                s2 = lax.psum(jnp.sum(jnp.where(mask, vf * vf, 0.0)), AXIS)
+                nn = lax.psum(jnp.sum(mask.astype(jnp.int64)), AXIS)
+                data, ok = hash_agg._variance_from_moments(
+                    a.fn, s1[None], s2[None], nn[None])
+                cols[a.out] = Column(data, ok, dtp.FLOAT64)
+                continue
             c = local[a.out]
             if a.fn in ("sum", "count", "count_star"):
                 data = lax.psum(jnp.where(c.validity(), c.data, 0)
@@ -352,8 +519,7 @@ class DistExecutor:
             else:
                 ldt = DistTable(shuf.gather_rows(ldt.table, AXIS), None, True)
         if node.kind == "union_all":
-            shim = _SetShim(node, ldt.table, rdt.table)
-            out = SetOp.run(shim, self.ctx)
+            out = node.run_local(self.ctx, ldt.table, rdt.table)
             return DistTable(out, None, ldt.replicated)
         # distinct set ops dedupe across shards: shuffle both sides by all
         # columns so equal rows colocate, then run the local kernel
@@ -364,31 +530,89 @@ class DistExecutor:
                 if rdt.table.column_names() != names else rdt.table
             rdt = self._shuffle(DistTable(rplan, None, False), tuple(names),
                                 node.node_id, slot=103)
-        shim = _SetShim(node, ldt.table, rdt.table)
-        out = SetOp.run(shim, self.ctx)
+        out = node.run_local(self.ctx, ldt.table, rdt.table)
         return DistTable(out, None, ldt.replicated)
 
     def _run_Window(self, node) -> DistTable:
         from starrocks_tpu.ops.window import window as _window
         dt = self.run(node.child)
-        # correct for any partition_by: gather so every partition is whole.
-        # (colocated fast path when partition keys cover the sharding)
-        if not dt.replicated and not (
-                node.partition_by
-                and self._keys_cover(dt.part_keys, node.partition_by)):
+        if not dt.replicated and node.partition_by and not self._keys_cover(
+                dt.part_keys, node.partition_by):
+            # repartition so every window partition is whole on one device —
+            # each row moves ONCE (vs the old gather-everything-everywhere)
+            dt = self._shuffle(dt, tuple(node.partition_by), node.node_id,
+                               slot=106)
+        elif not dt.replicated and not node.partition_by:
+            # no partitioning: the frame can span everything — gather
             dt = DistTable(shuf.gather_rows(dt.table, AXIS), None, True)
         out = _window(dt.table, node.partition_by, node.order_by, node.specs)
         return DistTable(out, dt.part_keys, dt.replicated)
 
     def _run_Sort(self, node: Sort) -> DistTable:
+        from starrocks_tpu.config import CONFIG
         dt = self.run(node.child)
         if dt.replicated:
-            return DistTable(sort_table(dt.table, node.keys, node.limit), None, True)
-        # local (pre-limit) sort, gather, final merge sort — the analog of
-        # merge-sort exchange receive (data_stream_recvr.h:103)
-        local = sort_table(dt.table, node.keys, node.limit)
-        gathered = shuf.gather_rows(local, AXIS)
-        return DistTable(sort_table(gathered, node.keys, node.limit), None, True)
+            return DistTable(sort_table(dt.table, node.keys, node.limit),
+                             None, True)
+        ndev = lax.axis_size(AXIS)
+        if (node.limit is not None
+                or dt.table.nrows * ndev
+                <= CONFIG.dist_range_sort_threshold_rows):
+            # top-N / small: local (pre-limit) sort, gather, final merge sort
+            # — the merge-sort exchange receive analog (data_stream_recvr.h:103)
+            local = sort_table(dt.table, node.keys, node.limit)
+            gathered = shuf.gather_rows(local, AXIS)
+            return DistTable(sort_table(gathered, node.keys, node.limit),
+                             None, True)
+        return self._range_sort(node, dt)
+
+    def _range_sort(self, node: Sort, dt: DistTable) -> DistTable:
+        """Range-partitioned distributed ORDER BY: sample -> splitters ->
+        all_to_all -> local sort. Each row moves exactly once and per-device
+        peak rows stay ~N/ndev (vs gather's N per device). Replaces the
+        merge-path receive of the reference (merge_path.h:371): device-major
+        range order + per-device sorted order IS the merged total order,
+        since equal split codes always land on one device."""
+        from starrocks_tpu.ops import fast_sort as fs
+        t = dt.table
+        n = t.nrows
+        ndev = lax.axis_size(AXIS)
+        live = t.live_mask()
+        # split code: the leading <=56 normalized key bits (direction- and
+        # NULL-placement-adjusted), so ascending code == output order
+        code = jnp.zeros((n,), jnp.uint64)
+        used = 0
+        for k in node.keys:
+            if used >= 56:
+                break
+            for codes, nbits in fs.normalize_keys(
+                    t[k.name], k.asc, k.resolve_nulls_first()):
+                take = min(nbits, 56 - used)
+                if take <= 0:
+                    break
+                code = (code << jnp.uint64(take)) | (
+                    codes >> jnp.uint64(nbits - take))
+                used += take
+        # per-device sample of the local code distribution (dead rows pushed
+        # to the top sentinel; they are dropped by the exchange anyway)
+        S = 64
+        sorted_codes = fs.sort_packed(
+            jnp.where(live, code, jnp.uint64((1 << 62))))
+        samples = sorted_codes[(jnp.arange(S) * n) // S]
+        all_samples = lax.all_gather(samples, AXIS, axis=0, tiled=True)
+        (ssorted,) = lax.sort((all_samples,), num_keys=1)
+        splitters = ssorted[(jnp.arange(1, ndev) * (ndev * S)) // ndev]
+        dest = jnp.searchsorted(splitters, code, side="right").astype(
+            jnp.int32)
+        key = (node.node_id, 107)
+        cap = self.ctx.capacity(key, 0)
+        if cap == 0:
+            cap = max(64, (2 * n) // ndev)
+            self.ctx.capacities[key] = cap
+        shuffled, ovf = shuf._scatter_exchange(t, dest, AXIS, cap)
+        self.ctx.report(key, ovf)
+        # local sort; the final all_gather (device-major) yields total order
+        return DistTable(sort_table(shuffled, node.keys, None), None, False)
 
     def _run_Limit(self, node: Limit) -> DistTable:
         dt = self.run(node.child)
@@ -401,48 +625,37 @@ class DistExecutor:
         return DistTable(t.with_live(live & (rank < node.n)), None, True)
 
 
-class _JoinShim:
-    """Adapter letting HashJoin.run execute on already-localized tables."""
+# ---------------------------------------------------------------------------
+# plan-time skew annotation (P13 detection: ANALYZE heavy hitters)
+# ---------------------------------------------------------------------------
 
-    def __init__(self, node: HashJoin, probe_t: Table, build_t: Table):
-        self.__dict__.update(dataclasses.asdict_shallow(node) if hasattr(
-            dataclasses, "asdict_shallow") else {
-            f.name: getattr(node, f.name) for f in dataclasses.fields(node)})
-        self.node_id = node.node_id
-        self.probe = _Const(probe_t)
-        self.build = _Const(build_t)
+def annotate_skew(plan: PlanNode, catalog, ndev: int) -> None:
+    """Set HashJoin.skew_salt from catalog heavy-hitter stats: when the
+    probe side scans a base table whose join-key column concentrates more
+    than CONFIG.skew_hot_key_fraction of rows on one value, a plain hash
+    shuffle floods one device — salt it across ~frac*ndev devices instead.
+    Detection (not a user hint) — the automatic counterpart of the
+    reference's is_skew_join hint (be/src/exec/hash_joiner.h:75) /
+    AdaptivePassthroughExchanger (local_exchange.h:334)."""
+    from starrocks_tpu.config import CONFIG
 
-    run = plan_mod.HashJoin.run
-    _keys = plan_mod.HashJoin._keys
-    _naa_kernel = plan_mod.HashJoin._naa_kernel
-    _unique_kernel = plan_mod.HashJoin._unique_kernel
-    _semi_kernel = plan_mod.HashJoin._semi_kernel
-    _rsemi_kernel = plan_mod.HashJoin._rsemi_kernel
-    _expand_kernel = plan_mod.HashJoin._expand_kernel
+    def base_table(node):
+        while isinstance(node, (Filter, AddColumns)):
+            node = node.child
+        if isinstance(node, (Scan,)) or type(node).__name__ == "BlockScan":
+            return node.table
+        return None
 
-
-class _SetShim:
-    """SetOp with its inputs already resolved to device-local Tables."""
-
-    def __init__(self, node, left_t: Table, right_t: Table):
-        self.__dict__.update({
-            f.name: getattr(node, f.name) for f in dataclasses.fields(node)})
-        self.node_id = node.node_id
-        self.left = _Const(left_t)
-        self.right = _Const(right_t)
-
-    run = plan_mod.SetOp.run
-    _prep = plan_mod.SetOp._prep
-    _union_kernel = plan_mod.SetOp._union_kernel
-    _setop_kernel = plan_mod.SetOp._setop_kernel
-
-
-class _Const:
-    def __init__(self, t: Table):
-        self.t = t
-
-    def run(self, ctx):
-        return self.t
+    for node in plan.walk():
+        if not isinstance(node, HashJoin) or len(node.left_keys) != 1:
+            continue
+        tname = base_table(node.probe)
+        if tname is None or tname not in getattr(catalog, "tables", {}):
+            continue
+        st = catalog.tables[tname].stats.get(node.left_keys[0])
+        frac = getattr(st, "top_freq", 0.0) if st else 0.0
+        if frac > CONFIG.skew_hot_key_fraction:
+            node.skew_salt = max(2, min(ndev, int(frac * ndev) + 1))
 
 
 # ---------------------------------------------------------------------------

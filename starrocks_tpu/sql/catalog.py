@@ -22,6 +22,9 @@ class ColumnStats:
     ndv: int
     min: Optional[float] = None
     max: Optional[float] = None
+    # fraction of (sampled) rows holding the most common value — the
+    # heavy-hitter signal driving automatic skew-join salting (P13)
+    top_freq: float = 0.0
 
 
 @dataclasses.dataclass
@@ -101,7 +104,10 @@ class Catalog:
                     idx = None
                 for cname, col in t.columns.items():
                     d = host[cname]
-                    ndv = len(np.unique(d))
+                    _, counts = np.unique(d, return_counts=True)
+                    ndv = len(counts)
+                    top_freq = float(counts.max() / max(len(d), 1)) \
+                        if len(counts) else 0.0
                     if n > sample:
                         # first-order extrapolation for sampled NDV
                         ndv = min(n, int(ndv * max(1.0, n / sample) ** 0.5)) if ndv > sample // 2 else ndv
@@ -112,7 +118,8 @@ class Catalog:
                     else:
                         mn = mx = None
                     stats[cname] = ColumnStats(ndv=max(int(ndv), 1),
-                                               min=mn, max=mx)
+                                               min=mn, max=mx,
+                                               top_freq=top_freq)
             zone_maps, block_rows = {}, 0
             if collect_stats and t.nrows >= ZONE_MIN_BLOCKS * ZONE_BLOCK_ROWS:
                 zone_maps, block_rows = _collect_zone_maps(t)

@@ -73,11 +73,10 @@ def test_shuffle_by_key_roundtrip(mesh):
     assert (per_key_devs == 1).all()
 
 
-# coverage: local colocate agg (q1 group on lineitem), colocated join +
-# reshuffle agg (q3), broadcast joins + semi (q5), global agg (q6),
-# left outer + coalesce (q13), distinct two-level (q16), anti join +
-# broadcast scalar (q22)
-DIST_QUERIES = ["q1", "q3", "q4", "q5", "q6", "q9", "q13", "q14", "q16", "q18", "q22"]
+# the FULL 22-query TPC-H suite runs distributed (colocate agg, shuffle +
+# broadcast + colocated joins, global agg, outer joins, distinct two-level,
+# anti joins, broadcast scalars, windows, setops, cross joins)
+DIST_QUERIES = [f"q{i}" for i in range(1, 23)]
 
 
 @pytest.mark.parametrize("name", DIST_QUERIES)
@@ -87,6 +86,46 @@ def test_distributed_query(name, mesh, dist_tables):
     got = D.dist_execute(plan, dtabs, mesh).to_pandas()
     want = golden.run(name, frames)
     assert_rows_equal(got, want)
+
+
+def test_distributed_shuffle_hash_join(mesh, dist_tables):
+    """Force the shuffle-hash-join path (P4) by dropping the broadcast
+    threshold to zero: every non-colocated join hash-partitions BOTH sides.
+    Queries must still match the goldens exactly."""
+    from starrocks_tpu.config import CONFIG, set_config
+    dtabs, frames = dist_tables
+    old = CONFIG.dist_broadcast_threshold_rows
+    set_config(dist_broadcast_threshold_rows=0)
+    try:
+        for name in ("q3", "q5", "q10", "q17"):
+            # fresh plan object: capacities/jit caches are per-plan
+            plan = tpch_plans.build(name, SF)
+            got = D.dist_execute(plan, dtabs, mesh).to_pandas()
+            want = golden.run(name, frames)
+            assert_rows_equal(got, want)
+    finally:
+        set_config(dist_broadcast_threshold_rows=old)
+
+
+def test_distributed_range_sort(mesh, dist_tables):
+    """Unlimited ORDER BY uses the range-partitioned sort: rows move once,
+    per-device peak stays ~N/ndev, global order is exact."""
+    from starrocks_tpu.config import CONFIG, set_config
+    dtabs, frames = dist_tables
+    old = CONFIG.dist_range_sort_threshold_rows
+    set_config(dist_range_sort_threshold_rows=0)
+    try:
+        from starrocks_tpu.exec.plan import Scan, Sort
+        from starrocks_tpu.ops.sort import SortKey
+        plan = Sort(Scan("orders", ("o_orderkey", "o_totalprice")),
+                    (SortKey("o_totalprice", asc=False),
+                     SortKey("o_orderkey")), None)
+        got = D.dist_execute(plan, dtabs, mesh).to_pandas()
+        want = frames["orders"][["o_orderkey", "o_totalprice"]].sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True])
+        assert list(got.o_orderkey) == list(want.o_orderkey)
+    finally:
+        set_config(dist_range_sort_threshold_rows=old)
 
 
 def test_salted_shuffle_join(mesh):
