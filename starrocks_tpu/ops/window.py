@@ -40,6 +40,13 @@ class WindowSpec:
     peers: bool = False          # RANGE frame: order-by ties share the frame end
     offset: int = 1              # lag/lead distance
     param: Optional[int] = None  # ntile bucket count
+    # bounded ROWS frame (p, f): p rows preceding .. f rows following the
+    # current row (either may be None for unbounded; negative values shift
+    # the frame edge past the current row). Overrides running/peers.
+    # The general-frame half of the Analytor (be/src/exec/analytor.h:52):
+    # sum/count/avg resolve by prefix-sum difference, min/max by prefix /
+    # suffix scans or a static shifted-window reduction.
+    frame: Optional[tuple] = None
 
 
 def _segment_starts(sorted_cols, live_sorted):
@@ -149,6 +156,17 @@ def window(
             col = Column(data[inv], valid[inv], c.dtype, c.dict_id)
         elif spec.fn in ("first_value", "last_value"):
             c = sorted_t[spec.col]
+            if spec.frame is not None:
+                a, bnd, nonempty = _frame_bounds(spec.frame, idx, seg_first,
+                                                 seg_end, n)
+                at = a if spec.fn == "first_value" else bnd
+                data = c.data[at]
+                valid = nonempty & live_s[at]
+                if c.valid is not None:
+                    valid = valid & c.valid[at]
+                col = Column(data[inv], valid[inv], c.dtype, c.dict_id)
+                out = out.with_column(spec.out, col)
+                continue
             if spec.fn == "first_value":
                 at = seg_first
             elif spec.running and spec.peers:
@@ -160,6 +178,9 @@ def window(
             data = c.data[at]
             valid = live_s[at] if c.valid is None else (live_s[at] & c.valid[at])
             col = Column(data[inv], valid[inv], c.dtype, c.dict_id)
+        elif spec.frame is not None:
+            col = _framed_agg(spec, sorted_t, live_s, idx, seg_first, seg_end,
+                              n, inv)
         else:
             c = sorted_t[spec.col] if spec.col else None
             if spec.fn == "count":
@@ -263,3 +284,101 @@ def _segment_total(running, seg_id, n, seg_first=None):
 
 def _segment_reduce_pick_last(running, seg_id, n, seg_first=None):
     return _segment_total(running, seg_id, n, seg_first)
+
+
+# ---------------------------------------------------------------------------
+# bounded ROWS frames (the general-frame half of the Analytor,
+# be/src/exec/analytor.h:52): sum/count/avg via prefix-sum difference,
+# min/max via prefix / suffix segment scans or a static shifted reduction
+# ---------------------------------------------------------------------------
+
+_MAX_SHIFT_WINDOW = 1024   # widest two-side-bounded min/max frame (static)
+
+
+def _frame_bounds(frame, idx, seg_first, seg_end, n):
+    """Per-row frame [a, b] clipped to the partition; nonempty = a <= b."""
+    p, f = frame
+    a = seg_first if p is None else jnp.maximum(idx - p, seg_first)
+    b = seg_end if f is None else jnp.minimum(idx + f, seg_end)
+    nonempty = a <= b
+    return jnp.clip(a, 0, n - 1), jnp.clip(b, 0, n - 1), nonempty
+
+
+def _frame_sum(running, a, b, nonempty, seg_first):
+    """sum over [a, b] from an inclusive within-segment running sum."""
+    base = jnp.where(a > seg_first, running[jnp.maximum(a - 1, 0)],
+                     jnp.zeros((), running.dtype))
+    return jnp.where(nonempty, running[b] - base,
+                     jnp.zeros((), running.dtype))
+
+
+def _suffix_minmax(data, seg_end_idx, idx, fn):
+    """Within-segment suffix min/max: value over [i, seg_end] per row."""
+    op = jnp.minimum if fn == "min" else jnp.maximum
+    identity = jnp.asarray(
+        (jnp.iinfo(data.dtype).max if fn == "min" else jnp.iinfo(data.dtype).min)
+        if not jnp.issubdtype(data.dtype, jnp.floating)
+        else (jnp.inf if fn == "min" else -jnp.inf), data.dtype)
+    start_rev = jnp.flip(seg_end_idx == idx)
+    out_rev = su.seg_scan(op, start_rev, jnp.flip(data), identity)
+    return jnp.flip(out_rev)
+
+
+def _framed_agg(spec, sorted_t, live_s, idx, seg_first, seg_end, n, inv):
+    """sum/avg/count/min/max over a bounded ROWS frame."""
+    a, b, nonempty = _frame_bounds(spec.frame, idx, seg_first, seg_end, n)
+    c = sorted_t[spec.col] if spec.col else None
+    mask = live_s if (c is None or c.valid is None) else (live_s & c.valid)
+
+    if spec.fn == "count":
+        running = _running_sum(mask.astype(jnp.int64), seg_first)
+        vals = _frame_sum(running, a, b, nonempty, seg_first)
+        return Column(vals[inv], None, dt.INT64)
+
+    if spec.fn in ("sum", "avg"):
+        data = jnp.where(mask, c.data.astype(jnp.int64)
+                         if not jnp.issubdtype(c.data.dtype, jnp.floating)
+                         else c.data, 0)
+        s = _frame_sum(_running_sum(data, seg_first), a, b, nonempty,
+                       seg_first)
+        cnt = _frame_sum(_running_sum(mask.astype(jnp.int64), seg_first),
+                         a, b, nonempty, seg_first)
+        if spec.fn == "avg":
+            fv = s.astype(jnp.float64) / jnp.maximum(cnt, 1)
+            if c.dtype.is_decimal:
+                fv = fv / (10 ** c.dtype.scale)
+            return Column(fv[inv], (cnt > 0)[inv], dt.FLOAT64)
+        out_dt = c.dtype if c.dtype.is_decimal else dt.INT64
+        return Column(s[inv].astype(out_dt.jnp_dtype), (cnt > 0)[inv], out_dt)
+
+    if spec.fn in ("min", "max"):
+        from starrocks_tpu.ops.hash_agg import _type_max, _type_min
+        sent = _type_max(c.data.dtype) if spec.fn == "min" \
+            else _type_min(c.data.dtype)
+        data = jnp.where(mask, c.data, sent)
+        cnt = _frame_sum(_running_sum(mask.astype(jnp.int64), seg_first),
+                         a, b, nonempty, seg_first)
+        p, f = spec.frame
+        if p is None:
+            # [seg_first, b]: prefix scan evaluated at the frame end
+            vals = _running_minmax(data, seg_first, spec.fn)[b]
+        elif f is None:
+            # [a, seg_end]: suffix scan evaluated at the frame start
+            vals = _suffix_minmax(data, seg_end, idx, spec.fn)[a]
+        else:
+            width = p + f + 1
+            if width > _MAX_SHIFT_WINDOW:
+                raise NotImplementedError(
+                    f"two-side-bounded min/max frame wider than "
+                    f"{_MAX_SHIFT_WINDOW} rows")
+            op = jnp.minimum if spec.fn == "min" else jnp.maximum
+            vals = jnp.full((n,), sent, data.dtype)
+            for d in range(-p, f + 1):
+                src = idx + d
+                ok = (src >= seg_first) & (src <= seg_end) & (src >= 0) \
+                    & (src < n)
+                cand = jnp.where(ok, data[jnp.clip(src, 0, n - 1)], sent)
+                vals = op(vals, cand)
+        return Column(vals[inv], (cnt > 0)[inv], c.dtype, c.dict_id)
+
+    raise ValueError(f"frame unsupported for {spec.fn}")

@@ -58,10 +58,12 @@ class Func(Node):
 class WindowExpr(Node):
     """fn(args) OVER ([PARTITION BY ...] [ORDER BY ...] [frame]).
 
-    frame is None (SQL-default frame) or (kind, end): kind in {rows, range},
-    end in {current, following} for UNBOUNDED PRECEDING .. {CURRENT ROW,
-    UNBOUNDED FOLLOWING} (the only frames the engine supports — the same
-    subset StarRocks' Analytor specializes, be/src/exec/analytor.h)."""
+    frame is None (SQL-default frame) or (kind, start, end): kind in
+    {rows, range}; start/end each one of "unbounded_preceding",
+    "unbounded_following", "current", ("preceding", expr),
+    ("following", expr) — general ROWS frames plus the unbounded RANGE
+    frames (the Analytor frame set, be/src/exec/analytor.h:52; RANGE with
+    numeric offsets is not supported, matching the reference)."""
     func: Func
     partition_by: list           # [expr]
     order_by: list               # [(expr, asc)]

@@ -517,22 +517,32 @@ class Parser:
         fk = "rows" if self.kw("rows") else ("range" if self.kw("range") else None)
         if fk:
             if self.kw("between"):
-                self.expect("KEYWORD", "unbounded")
-                self.expect("KEYWORD", "preceding")
+                start = self._parse_frame_bound()
                 self.expect("KEYWORD", "and")
-                if self.kw("current"):
-                    self.expect("KEYWORD", "row")
-                    frame = (fk, "current")
-                else:
-                    self.expect("KEYWORD", "unbounded")
-                    self.expect("KEYWORD", "following")
-                    frame = (fk, "following")
+                end = self._parse_frame_bound()
             else:
-                self.expect("KEYWORD", "unbounded")
-                self.expect("KEYWORD", "preceding")
-                frame = (fk, "current")
+                start = self._parse_frame_bound()
+                end = "current"
+            frame = (fk, start, end)
         self.expect("SYMBOL", ")")
         return ast.WindowExpr(f, partition_by, order_by, frame)
+
+    def _parse_frame_bound(self):
+        """UNBOUNDED PRECEDING/FOLLOWING | CURRENT ROW | <expr> PRECEDING |
+        <expr> FOLLOWING."""
+        if self.kw("unbounded"):
+            if self.kw("preceding"):
+                return "unbounded_preceding"
+            self.expect("KEYWORD", "following")
+            return "unbounded_following"
+        if self.kw("current"):
+            self.expect("KEYWORD", "row")
+            return "current"
+        e = self.parse_expr()
+        if self.kw("preceding"):
+            return ("preceding", e)
+        self.expect("KEYWORD", "following")
+        return ("following", e)
 
 
 def parse(text: str) -> ast.SelectStmt:

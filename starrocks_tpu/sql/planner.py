@@ -1703,10 +1703,34 @@ class Planner:
             elif fn == "count" and not node.func.star and node.func.args:
                 col_arg = as_col(node.func.args[0])
             running = peers = False
+            frame_rows = None
             if node.frame is not None:
-                kind, end = node.frame
-                if end == "current":
+                kind, start, end = node.frame
+
+                def bound_rows(bound, sign):
+                    # rows before (sign=+1 for PRECEDING side) / after the
+                    # current row; None = unbounded
+                    if bound == "current":
+                        return 0
+                    if bound in ("unbounded_preceding", "unbounded_following"):
+                        return None
+                    word, e = bound
+                    k = fold_const(e)
+                    assert isinstance(k, ast.Lit), "frame offset must be const"
+                    v = int(k.value)
+                    return v if (word == "preceding") == (sign > 0) else -v
+
+                p = bound_rows(start, +1)   # rows preceding
+                f = bound_rows(end, -1)     # rows following
+                if p is None and f == 0:
                     running, peers = True, kind == "range"
+                elif p is None and f is None:
+                    pass                    # whole partition
+                elif kind == "rows":
+                    frame_rows = (p, f)
+                else:
+                    raise NotImplementedError(
+                        "RANGE frames with numeric offsets")
             elif (fn in ("sum", "min", "max", "avg", "count", "last_value")
                   and node.order_by):
                 # SQL default frame with ORDER BY:
@@ -1714,7 +1738,7 @@ class Planner:
                 running, peers = True, True
             out = _gen("win")
             spec = WindowSpec(fn, col_arg, out, running=running, peers=peers,
-                              offset=offset, param=param)
+                              offset=offset, param=param, frame=frame_rows)
             groups.setdefault((pnames, okeys), []).append(spec)
             expr: E.Expr = E.col(out)
             if default_expr is not None:

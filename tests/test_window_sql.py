@@ -110,3 +110,100 @@ def test_grouping_sets_having(sess):
     per_g = df.groupby("g").v.sum()
     want_n = int((per_g > 100).sum()) + (1 if df.v.sum() > 100 else 0)
     assert len(out) == want_n
+
+
+@pytest.fixture(scope="module")
+def fsess():
+    # unique order key per partition -> deterministic frames across engines
+    rng = np.random.default_rng(11)
+    n = 500
+    g = rng.integers(0, 7, n)
+    df = pd.DataFrame({"g": g, "v": rng.integers(-50, 100, n).astype(np.int64)})
+    df["o"] = df.groupby("g").cumcount()
+    t = Table.from_pydict({"g": (df.g.to_numpy(), dt.INT64),
+                           "o": (df.o.to_numpy(), dt.INT64),
+                           "v": (df.v.to_numpy(), dt.INT64)})
+    return df, Session({"t": t})
+
+
+def _rolling(df, fn, p, f):
+    """pandas golden for ROWS BETWEEN p PRECEDING AND f FOLLOWING."""
+    d = df.sort_values(["g", "o"], kind="stable")
+    win = d.groupby("g").v.rolling(window=p + f + 1, min_periods=1,
+                                   center=False)
+    # rolling is trailing-only; shift by -f to center the frame end
+    res = getattr(win, fn)().reset_index(level=0, drop=True)
+    if f:
+        res = res.groupby(d.g).shift(-f)
+        # frames clipped at partition end still have >=1 row (p>=0 covers
+        # the current row); recompute tail rows directly
+        for gk, grp in d.groupby("g"):
+            vals = grp.v.to_numpy()
+            m = len(vals)
+            for j in range(max(0, m - f), m):
+                lo, hi = max(0, j - p), min(m, j + f + 1)
+                res.loc[grp.index[j]] = getattr(np, fn)(vals[lo:hi])
+    return d, res
+
+
+@pytest.mark.parametrize("fn,sqlfn", [("sum", "sum"), ("min", "min"),
+                                      ("max", "max"), ("mean", "avg")])
+@pytest.mark.parametrize("p,f", [(3, 0), (2, 2), (0, 4)])
+def test_bounded_rows_frames(fsess, fn, sqlfn, p, f):
+    df, s = fsess
+    if f == 0:
+        fr = f"rows between {p} preceding and current row"
+    elif p == 0:
+        fr = f"rows between current row and {f} following"
+    else:
+        fr = f"rows between {p} preceding and {f} following"
+    out = s.sql(f"select g, o, {sqlfn}(v) over (partition by g order by o "
+                f"{fr}) r from t order by g, o")
+    d, want = _rolling(df, fn, p, f)
+    got = out.r.to_numpy().astype(float)
+    np.testing.assert_allclose(got, want.to_numpy(), rtol=1e-12)
+
+
+def test_bounded_count_and_first_last(fsess):
+    df, s = fsess
+    out = s.sql("select g, o, "
+                "count(v) over (partition by g order by o "
+                "  rows between 2 preceding and 1 following) c, "
+                "first_value(v) over (partition by g order by o "
+                "  rows between 2 preceding and 1 following) fv, "
+                "last_value(v) over (partition by g order by o "
+                "  rows between 2 preceding and 1 following) lv "
+                "from t order by g, o")
+    d = df.sort_values(["g", "o"], kind="stable").reset_index(drop=True)
+    cs, fs, ls = [], [], []
+    for gk, grp in d.groupby("g"):
+        vals = grp.v.to_numpy()
+        m = len(vals)
+        for j in range(m):
+            lo, hi = max(0, j - 2), min(m, j + 2)
+            cs.append(hi - lo)
+            fs.append(vals[lo])
+            ls.append(vals[hi - 1])
+    np.testing.assert_array_equal(out.c.to_numpy(), cs)
+    np.testing.assert_array_equal(out.fv.to_numpy(), fs)
+    np.testing.assert_array_equal(out.lv.to_numpy(), ls)
+
+
+def test_unbounded_following_suffix(fsess):
+    df, s = fsess
+    out = s.sql("select g, o, "
+                "min(v) over (partition by g order by o "
+                "  rows between current row and unbounded following) sm, "
+                "sum(v) over (partition by g order by o "
+                "  rows between 1 preceding and unbounded following) ss "
+                "from t order by g, o")
+    d = df.sort_values(["g", "o"], kind="stable").reset_index(drop=True)
+    sms, sss = [], []
+    for gk, grp in d.groupby("g"):
+        vals = grp.v.to_numpy()
+        m = len(vals)
+        for j in range(m):
+            sms.append(vals[j:].min())
+            sss.append(vals[max(0, j - 1):].sum())
+    np.testing.assert_array_equal(out.sm.to_numpy(), sms)
+    np.testing.assert_array_equal(out.ss.to_numpy(), sss)
