@@ -47,6 +47,12 @@ class WindowSpec:
     # sum/count/avg resolve by prefix-sum difference, min/max by prefix /
     # suffix scans or a static shifted-window reduction.
     frame: Optional[tuple] = None
+    # RANGE frame with numeric offsets (p, f) in ORDER-BY VALUE units:
+    # frame = rows of the partition whose single order-key value lies in
+    # [v - p, v + f] (direction-adjusted for DESC). Bounds resolve with a
+    # per-row vectorized binary search inside the partition; min/max over
+    # the variable-width bounds uses a sparse-table RMQ.
+    range_frame: Optional[tuple] = None
 
 
 def _segment_starts(sorted_cols, live_sorted):
@@ -156,9 +162,14 @@ def window(
             col = Column(data[inv], valid[inv], c.dtype, c.dict_id)
         elif spec.fn in ("first_value", "last_value"):
             c = sorted_t[spec.col]
-            if spec.frame is not None:
-                a, bnd, nonempty = _frame_bounds(spec.frame, idx, seg_first,
-                                                 seg_end, n)
+            if spec.frame is not None or spec.range_frame is not None:
+                if spec.range_frame is not None:
+                    a, bnd, nonempty = _frame_bounds_range(
+                        spec.range_frame, sorted_t, live_s, order_by[0],
+                        seg_first, seg_end, peer_first, peer_end, n)
+                else:
+                    a, bnd, nonempty = _frame_bounds(spec.frame, idx,
+                                                     seg_first, seg_end, n)
                 at = a if spec.fn == "first_value" else bnd
                 data = c.data[at]
                 valid = nonempty & live_s[at]
@@ -178,9 +189,9 @@ def window(
             data = c.data[at]
             valid = live_s[at] if c.valid is None else (live_s[at] & c.valid[at])
             col = Column(data[inv], valid[inv], c.dtype, c.dict_id)
-        elif spec.frame is not None:
+        elif spec.frame is not None or spec.range_frame is not None:
             col = _framed_agg(spec, sorted_t, live_s, idx, seg_first, seg_end,
-                              n, inv)
+                              n, inv, order_by, peer_first, peer_end)
         else:
             c = sorted_t[spec.col] if spec.col else None
             if spec.fn == "count":
@@ -216,7 +227,10 @@ def window(
                         fv = fv / (10 ** c.dtype.scale)
                     col = Column(fv[inv], (cnt > 0)[inv], dt.FLOAT64)
                 else:
-                    out_dt = c.dtype if c.dtype.is_decimal else dt.INT64
+                    out_dt = c.dtype if c.dtype.is_decimal else (
+                        dt.FLOAT64
+                        if jnp.issubdtype(c.data.dtype, jnp.floating)
+                        else dt.INT64)
                     col = Column(running[inv].astype(out_dt.jnp_dtype),
                                  (cnt > 0)[inv], out_dt)
             elif spec.fn in ("min", "max"):
@@ -324,9 +338,109 @@ def _suffix_minmax(data, seg_end_idx, idx, fn):
     return jnp.flip(out_rev)
 
 
-def _framed_agg(spec, sorted_t, live_s, idx, seg_first, seg_end, n, inv):
-    """sum/avg/count/min/max over a bounded ROWS frame."""
-    a, b, nonempty = _frame_bounds(spec.frame, idx, seg_first, seg_end, n)
+def _value_units(x, dtype, jdtype):
+    """Convert a frame offset literal into order-key storage units
+    (decimals are scaled ints; dates are int days; floats stay floats)."""
+    if x is None:
+        return None
+    if jnp.issubdtype(jdtype, jnp.floating):
+        return float(x)
+    scale = 10 ** dtype.scale if dtype.is_decimal else 1
+    return int(round(float(x) * scale))
+
+
+def _part_searchsorted(vals, nullmask, nulls_first, lo0, hi0, target, asc,
+                       side, n):
+    """Per-row binary search: insertion point of `target[i]` within the
+    sorted run vals[lo0[i]:hi0[i]] under the sort direction. All rows search
+    simultaneously (log2(n) gather rounds)."""
+    import numpy as np
+    lo = lo0.astype(jnp.int32)
+    hi = hi0.astype(jnp.int32)
+    for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 1):
+        mid = (lo + hi) // 2
+        mc = jnp.clip(mid, 0, n - 1)
+        mv = vals[mc]
+        if asc:
+            cmp = (mv < target) if side == "left" else (mv <= target)
+        else:
+            cmp = (mv > target) if side == "left" else (mv >= target)
+        # a NULL at mid sorts before every real target iff nulls-first
+        pred = jnp.where(nullmask[mc], nulls_first, cmp)
+        go = lo < hi
+        lo = jnp.where(go & pred, mid + 1, lo)
+        hi = jnp.where(go & pred, hi, jnp.where(go, mid, hi))
+    return lo
+
+
+def _frame_bounds_range(range_frame, sorted_t, live_s, order_key, seg_first,
+                        seg_end, peer_first, peer_end, n):
+    """Per-row [a, b] for RANGE BETWEEN p PRECEDING AND f FOLLOWING over the
+    single numeric order key (the value-offset half of the Analytor's RANGE
+    frames, be/src/exec/analytor.h:52): binary-search the partition for the
+    first/last row whose key value lies within [v-p, v+f]."""
+    p, f = range_frame
+    c = sorted_t[order_key.name]
+    v = c.data
+    pu = _value_units(p, c.dtype, v.dtype)
+    fu = _value_units(f, c.dtype, v.dtype)
+    isnull = (~c.validity() if c.valid is not None
+              else jnp.zeros((n,), jnp.bool_)) | ~live_s
+    nulls_first = order_key.resolve_nulls_first()
+    sign = 1 if order_key.asc else -1
+    if pu is None:
+        a = seg_first
+    else:
+        lo_val = v - sign * jnp.asarray(pu, v.dtype)
+        a = _part_searchsorted(v, isnull, nulls_first, seg_first, seg_end + 1,
+                               lo_val, order_key.asc, "left", n)
+    if fu is None:
+        b = seg_end
+    else:
+        hi_val = v + sign * jnp.asarray(fu, v.dtype)
+        b = _part_searchsorted(v, isnull, nulls_first, seg_first, seg_end + 1,
+                               hi_val, order_key.asc, "right", n) - 1
+    # a NULL order key's offset frame is its peer group (the other NULLs),
+    # extended by any unbounded side
+    if pu is not None:
+        a = jnp.where(isnull, peer_first, a)
+    if fu is not None:
+        b = jnp.where(isnull, peer_end, b)
+    nonempty = a <= b
+    return jnp.clip(a, 0, n - 1), jnp.clip(b, 0, n - 1), nonempty
+
+
+def _rmq(data, a, b, fn, sent):
+    """Range min/max over arbitrary per-row [a, b] via a sparse table:
+    level j holds the reduce over [i, i+2^j); query = op(T[j,a],
+    T[j,b-2^j+1]) with j = floor(log2(width))."""
+    from jax import lax
+    op = jnp.minimum if fn == "min" else jnp.maximum
+    n = data.shape[0]
+    tabs = [data]
+    shift = 1
+    while shift < n:
+        prev = tabs[-1]
+        shifted = jnp.concatenate(
+            [prev[shift:], jnp.full((shift,), sent, data.dtype)])
+        tabs.append(op(prev, shifted))
+        shift *= 2
+    T = jnp.stack(tabs)                     # (L, n)
+    w = jnp.maximum(b - a + 1, 1).astype(jnp.int32)
+    j = (31 - lax.clz(w)).astype(jnp.int32)
+    right = jnp.clip(b - (1 << j) + 1, 0, n - 1)
+    return op(T[j, a], T[j, right])
+
+
+def _framed_agg(spec, sorted_t, live_s, idx, seg_first, seg_end, n, inv,
+                order_by=(), peer_first=None, peer_end=None):
+    """sum/avg/count/min/max over a bounded ROWS or value-RANGE frame."""
+    if spec.range_frame is not None:
+        a, b, nonempty = _frame_bounds_range(
+            spec.range_frame, sorted_t, live_s, order_by[0], seg_first,
+            seg_end, peer_first, peer_end, n)
+    else:
+        a, b, nonempty = _frame_bounds(spec.frame, idx, seg_first, seg_end, n)
     c = sorted_t[spec.col] if spec.col else None
     mask = live_s if (c is None or c.valid is None) else (live_s & c.valid)
 
@@ -348,7 +462,9 @@ def _framed_agg(spec, sorted_t, live_s, idx, seg_first, seg_end, n, inv):
             if c.dtype.is_decimal:
                 fv = fv / (10 ** c.dtype.scale)
             return Column(fv[inv], (cnt > 0)[inv], dt.FLOAT64)
-        out_dt = c.dtype if c.dtype.is_decimal else dt.INT64
+        out_dt = c.dtype if c.dtype.is_decimal else (
+            dt.FLOAT64 if jnp.issubdtype(c.data.dtype, jnp.floating)
+            else dt.INT64)
         return Column(s[inv].astype(out_dt.jnp_dtype), (cnt > 0)[inv], out_dt)
 
     if spec.fn in ("min", "max"):
@@ -358,19 +474,19 @@ def _framed_agg(spec, sorted_t, live_s, idx, seg_first, seg_end, n, inv):
         data = jnp.where(mask, c.data, sent)
         cnt = _frame_sum(_running_sum(mask.astype(jnp.int64), seg_first),
                          a, b, nonempty, seg_first)
-        p, f = spec.frame
-        if p is None:
+        p, f = spec.frame if spec.frame is not None else (1, 1)
+        if spec.range_frame is not None:
+            # variable-width bounds: sparse-table range min/max
+            vals = _rmq(data, a, b, spec.fn, sent)
+        elif spec.frame[0] is None:
             # [seg_first, b]: prefix scan evaluated at the frame end
             vals = _running_minmax(data, seg_first, spec.fn)[b]
-        elif f is None:
+        elif spec.frame[1] is None:
             # [a, seg_end]: suffix scan evaluated at the frame start
             vals = _suffix_minmax(data, seg_end, idx, spec.fn)[a]
+        elif p + f + 1 > _MAX_SHIFT_WINDOW:
+            vals = _rmq(data, a, b, spec.fn, sent)
         else:
-            width = p + f + 1
-            if width > _MAX_SHIFT_WINDOW:
-                raise NotImplementedError(
-                    f"two-side-bounded min/max frame wider than "
-                    f"{_MAX_SHIFT_WINDOW} rows")
             op = jnp.minimum if spec.fn == "min" else jnp.maximum
             vals = jnp.full((n,), sent, data.dtype)
             for d in range(-p, f + 1):

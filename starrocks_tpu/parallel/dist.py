@@ -290,7 +290,15 @@ class DistExecutor:
             if right_family:
                 # build-side match flags must be globally exact
                 if pdt.replicated and not bdt.replicated:
-                    pass            # full probe vs disjoint build shard: local
+                    # full probe vs disjoint build shards is local ONLY for
+                    # types whose output rows come solely from the build side
+                    # (right_semi/anti/outer). full_outer also emits unmatched
+                    # PROBE rows, which would duplicate per device and judge
+                    # matches against one build shard only — gather the build
+                    # so every device computes the identical full join.
+                    if node.join_type == "full_outer":
+                        bdt = DistTable(shuf.gather_rows(bdt.table, AXIS),
+                                        None, True)
                 elif not pdt.replicated and not bdt.replicated:
                     pdt, bdt = self._shuffle_join_sides(node, pdt, bdt)
                 elif bdt.replicated and not pdt.replicated:

@@ -1703,7 +1703,7 @@ class Planner:
             elif fn == "count" and not node.func.star and node.func.args:
                 col_arg = as_col(node.func.args[0])
             running = peers = False
-            frame_rows = None
+            frame_rows = frame_range = None
             if node.frame is not None:
                 kind, start, end = node.frame
 
@@ -1716,21 +1716,31 @@ class Planner:
                         return None
                     word, e = bound
                     k = fold_const(e)
-                    assert isinstance(k, ast.Lit), "frame offset must be const"
-                    v = int(k.value)
+                    if not isinstance(k, ast.Lit):
+                        raise ValueError(
+                            "window frame offset must be a constant")
+                    v = k.value / (10 ** k.scale) if k.kind == "decimal" \
+                        else k.value
                     return v if (word == "preceding") == (sign > 0) else -v
 
-                p = bound_rows(start, +1)   # rows preceding
-                f = bound_rows(end, -1)     # rows following
+                p = bound_rows(start, +1)   # rows/units preceding
+                f = bound_rows(end, -1)     # rows/units following
                 if p is None and f == 0:
                     running, peers = True, kind == "range"
                 elif p is None and f is None:
                     pass                    # whole partition
                 elif kind == "rows":
-                    frame_rows = (p, f)
+                    frame_rows = (None if p is None else int(p),
+                                  None if f is None else int(f))
                 else:
-                    raise NotImplementedError(
-                        "RANGE frames with numeric offsets")
+                    # RANGE with a numeric offset: frame = rows whose order
+                    # key value lies within [v - p, v + f] (value units;
+                    # searchsorted per partition in ops.window)
+                    if len(okeys) != 1:
+                        raise ValueError(
+                            "RANGE frame with offset requires exactly one "
+                            "ORDER BY key")
+                    frame_range = (p, f)
             elif (fn in ("sum", "min", "max", "avg", "count", "last_value")
                   and node.order_by):
                 # SQL default frame with ORDER BY:
@@ -1738,7 +1748,8 @@ class Planner:
                 running, peers = True, True
             out = _gen("win")
             spec = WindowSpec(fn, col_arg, out, running=running, peers=peers,
-                              offset=offset, param=param, frame=frame_rows)
+                              offset=offset, param=param, frame=frame_rows,
+                              range_frame=frame_range)
             groups.setdefault((pnames, okeys), []).append(spec)
             expr: E.Expr = E.col(out)
             if default_expr is not None:

@@ -267,3 +267,36 @@ def test_distributed_sql_window_setop(mesh):
         assert got.shape == want.shape, (q, got.shape, want.shape)
         assert got.round(6).equals(want.round(6)) or \
             (got.values == want.values).all(), q
+
+
+def test_distributed_full_outer_replicated_probe(mesh):
+    """Advisor r2 (high): full_outer with a REPLICATED probe and a SHARDED
+    build must gather the build — running it locally per shard emits
+    unmatched probe rows once per device and spurious NULL-extended rows
+    for probe rows matched on another shard."""
+    from starrocks_tpu.column import dtypes as dt
+    from starrocks_tpu.column.column import Table
+    from starrocks_tpu.exec.plan import HashJoin, Scan
+
+    probe = Table.from_pydict({
+        "pk": (np.arange(10, dtype=np.int64), dt.INT64),
+        "pv": (np.arange(10, dtype=np.int64) * 2, dt.INT64)})
+    build = Table.from_pydict({
+        "bk": (np.arange(5, 15, dtype=np.int64), dt.INT64),
+        "bv": (np.arange(5, 15, dtype=np.int64) * 100, dt.INT64)})
+    dtabs = D.place_tables({"p": probe, "b": build}, mesh,
+                           {"p": "replicated", "b": ("bk",)})
+    plan = HashJoin(Scan("p"), Scan("b"), ("pk",), ("bk",), "full_outer",
+                    ("bk", "bv"), unique=True)
+    got = D.dist_execute(plan, dtabs, mesh).to_pandas()
+    lhs = pd.DataFrame({"pk": np.arange(10), "pv": np.arange(10) * 2})
+    rhs = pd.DataFrame({"bk": np.arange(5, 15), "bv": np.arange(5, 15) * 100})
+    want = lhs.merge(rhs, left_on="pk", right_on="bk", how="outer")
+    assert len(got) == len(want) == 15
+    got_s = got.sort_values(["pk", "bk"], na_position="last") \
+        .reset_index(drop=True)
+    want_s = want.sort_values(["pk", "bk"], na_position="last") \
+        .reset_index(drop=True)
+    for c in ("pk", "pv", "bk", "bv"):
+        a, b = got_s[c].to_numpy(float), want_s[c].to_numpy(float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c

@@ -207,3 +207,88 @@ def test_unbounded_following_suffix(fsess):
             sss.append(vals[max(0, j - 1):].sum())
     np.testing.assert_array_equal(out.sm.to_numpy(), sms)
     np.testing.assert_array_equal(out.ss.to_numpy(), sss)
+
+
+def test_range_offset_frames_vs_sqlite(sess):
+    """RANGE BETWEEN k PRECEDING/FOLLOWING (value-offset frames) — golden
+    diff vs SQLite's window engine on the same data (the Analytor RANGE
+    half, be/src/exec/analytor.h:52)."""
+    import sqlite3
+    df, s = sess
+    con = sqlite3.connect(":memory:")
+    df.to_sql("t", con, index=False)
+    queries = [
+        "select g, o, "
+        "sum(v) over (partition by g order by o "
+        "  range between 5 preceding and 3 following) rs, "
+        "min(v) over (partition by g order by o "
+        "  range between 5 preceding and 3 following) mn, "
+        "max(v) over (partition by g order by o "
+        "  range between 10 preceding and current row) mx, "
+        "count(v) over (partition by g order by o "
+        "  range between current row and 7 following) ct "
+        "from t order by g, o",
+        "select g, o, sum(v) over (partition by g order by o desc "
+        "  range between 4 preceding and 4 following) rs from t order by g, o",
+        "select g, o, avg(v) over (partition by g order by o "
+        "  range between unbounded preceding and 2 following) av "
+        "from t order by g, o",
+        "select g, o, first_value(v) over (partition by g order by o "
+        "  range between 3 preceding and 3 following) fv from t order by g, o",
+    ]
+    for q in queries:
+        ours = s.sql(q)
+        want = pd.read_sql_query(q, con)
+        a = ours.sort_values(list(ours.columns)).reset_index(drop=True)
+        b = want.sort_values(list(want.columns)).reset_index(drop=True)
+        for c in ours.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                np.testing.assert_allclose(av.astype(float), bv.astype(float))
+            else:
+                np.testing.assert_array_equal(av, bv)
+
+
+def test_float_window_sum(fsess):
+    """sum() over float columns must stay FLOAT64 (advisor r2: the running
+    sum was cast to INT64, truncating fractional parts)."""
+    df, s = fsess
+    s2 = Session({"t": Table.from_pydict({
+        "g": (df.g.to_numpy(), dt.INT64),
+        "o": (df.o.to_numpy(), dt.INT64),
+        "v": (df.v.to_numpy().astype(np.float64) + 0.5, dt.FLOAT64)})})
+    out = s2.sql("select g, o, "
+                 "sum(v) over (partition by g order by o) run, "
+                 "sum(v) over (partition by g order by o "
+                 "  rows between 1 preceding and 1 following) fr "
+                 "from t order by g, o")
+    d = df.assign(v=df.v.astype(np.float64) + 0.5) \
+        .sort_values(["g", "o"], kind="stable").reset_index(drop=True)
+    runs, frs = [], []
+    for gk, grp in d.groupby("g"):
+        vals = grp.v.to_numpy()
+        m = len(vals)
+        for j in range(m):
+            runs.append(vals[:j + 1].sum())
+            frs.append(vals[max(0, j - 1):j + 2].sum())
+    np.testing.assert_allclose(out.run.to_numpy(), runs)
+    np.testing.assert_allclose(out.fr.to_numpy(), frs)
+
+
+def test_wide_rows_frame_minmax_rmq(fsess, monkeypatch):
+    """Two-side-bounded min/max frames wider than the static shift window
+    route through the sparse-table RMQ."""
+    from starrocks_tpu.ops import window as W
+    monkeypatch.setattr(W, "_MAX_SHIFT_WINDOW", 8)
+    df, s = fsess
+    out = s.sql("select g, o, min(v) over (partition by g order by o "
+                "rows between 40 preceding and 35 following) mn "
+                "from t order by g, o")
+    d = df.sort_values(["g", "o"], kind="stable").reset_index(drop=True)
+    mns = []
+    for gk, grp in d.groupby("g"):
+        vals = grp.v.to_numpy()
+        m = len(vals)
+        for j in range(m):
+            mns.append(vals[max(0, j - 40):j + 36].min())
+    np.testing.assert_array_equal(out.mn.to_numpy(), mns)
