@@ -31,11 +31,37 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: query plans recompile only on shape/plan
 # changes across processes (the analog of the reference's prepared-fragment
 # reuse; TPU XLA compiles are seconds-scale, so this matters for latency).
+#
+# The cache directory is keyed by a host fingerprint (machine arch + CPU
+# feature flags): XLA:CPU caches AOT machine code, and loading artifacts
+# compiled on a host with different vector features is undefined behavior —
+# the loader itself warns "could lead to execution errors such as SIGILL",
+# and a stale cross-machine cache reproducibly segfaulted the test suite
+# inside backend_compile_and_load.
+
+
+def _machine_tag() -> str:
+    import hashlib
+    import platform
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = line
+                    break
+    except OSError:
+        pass
+    raw = platform.machine() + ":" + feats
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
 _cache_dir = os.environ.get(
     "STARROCKS_TPU_COMPILE_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "starrocks_tpu_xla"))
 if _cache_dir != "0":
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_cache_dir, _machine_tag()))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"

@@ -55,10 +55,14 @@ class EngineConfig:
     dist_range_sort_threshold_rows: int = 1 << 16
     # ANALYZE heavy-hitter fraction above which a shuffle join gets salted
     skew_hot_key_fraction: float = 0.3
-    # bloom runtime filter (bit array pushed to the probe side)
+    # bloom runtime filter (bit array pushed to the probe side,
+    # exec/plan.py _rf_kernel; RuntimeMembershipFilter analog)
     enable_bloom_rf: bool = True
     bloom_rf_min_probe_rows: int = 1 << 15  # probe sizes worth the two passes
-    bloom_rf_bits_per_key: int = 16         # ~0.05% fp at k=2
+    bloom_rf_bits_per_key: int = 8          # ~5% fp at k=2 — cheap, resident
+    # --- out-of-core streaming (exec/stream.py) ---
+    # rows per host->HBM block when a HostTable streams through operators
+    stream_block_rows: int = 1 << 21
 
 
 CONFIG = EngineConfig()

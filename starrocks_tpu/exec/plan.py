@@ -318,6 +318,10 @@ class HashJoin(PlanNode):
     # (annotated from ANALYZE heavy-hitter stats by parallel.dist.annotate_skew;
     # the is_skew_join hint analog, be/src/exec/hash_joiner.h:75)
     skew_salt: int = 1
+    # null-safe key equality (<=>): NULL keys match NULL keys. Used by the
+    # planner's distinct-aggregate split-and-rejoin, where NULL group keys
+    # (nullable columns, grouping-sets masking) must rejoin their own group.
+    null_safe: bool = False
 
     # join types where probe rows that cannot match any build key are
     # dropped from (or contribute nothing to) the output — the only types a
@@ -371,7 +375,9 @@ class HashJoin(PlanNode):
             hi = jnp.max(jnp.where(bv, bd, hash_agg._type_min(bd.dtype)))
             ok = (pc.data >= lo) & (pc.data <= hi)
             if pc.valid is not None:
-                ok = ok & pc.valid
+                # plain equi-join: NULL keys never match, drop them here;
+                # null-safe (<=>) join: NULL matches NULL, keep them
+                ok = (ok | ~pc.valid) if self.null_safe else (ok & pc.valid)
             mask = mask & ok
         return p.with_live(mask)
 
@@ -384,6 +390,26 @@ class HashJoin(PlanNode):
             if (pc.dtype.is_string and bc.dtype.is_string
                     and pc.dict_id != bc.dict_id):
                 pk[i], bk[i] = _unify_dicts(pc, bc)
+        if self.null_safe:
+            # <=> semantics: coalesce NULL key data to 0 and append the
+            # validity bit as an extra key column so NULL==NULL matches
+            # exactly (no sentinel collisions)
+            npk, nbk = [], []
+            for pc, bc in zip(pk, bk):
+                def ns(c):
+                    if c.valid is None:
+                        return c
+                    data = jnp.where(c.valid, c.data,
+                                     jnp.zeros((), c.data.dtype))
+                    return Column(data, None, c.dtype, c.dict_id)
+                npk.append(ns(pc))
+                nbk.append(ns(bc))
+                if pc.valid is not None or bc.valid is not None:
+                    npk.append(Column(pc.validity().astype(jnp.int32),
+                                      None, dt.INT32))
+                    nbk.append(Column(bc.validity().astype(jnp.int32),
+                                      None, dt.INT32))
+            pk, bk = npk, nbk
         return pk, bk
 
     def _naa_kernel(self, sizes):
@@ -567,6 +593,14 @@ def _global_agg(t: Table, aggs: Sequence[AggSpec]) -> Table:
             data, ok = hash_agg._variance_from_moments(
                 spec.fn, s1[None], s2[None], nn[None])
             cols[spec.out] = Column(data, ok, dt.FLOAT64)
+            continue
+        if spec.fn in hash_agg.HLL_FNS:
+            # register scatter-max + harmonic estimate: NO sort of the input
+            # (the whole point of the sketch vs exact count(distinct))
+            regs = hash_agg.hll_registers(c, mask)
+            e = hash_agg.hll_estimate_registers(regs)
+            data = jnp.where(nn > 0, jnp.round(e), 0.0).astype(jnp.int64)
+            cols[spec.out] = Column(data[None], None, dt.INT64)
             continue
         if spec.fn in hash_agg.PCTL_FNS:
             from starrocks_tpu.ops import scan_utils as _su

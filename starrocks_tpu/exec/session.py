@@ -49,6 +49,12 @@ class Session:
             from starrocks_tpu.parallel import dist as D
             D.annotate_skew(plan, self.catalog, self.mesh.devices.size)
             return D.dist_execute(plan, self._dist_tables, self.mesh)
+        from starrocks_tpu.exec.stream import HostTable, stream_execute
+        if any(isinstance(t, HostTable) for t in self.tables.values()):
+            # out-of-core: host-RAM tables stream through the chip blockwise
+            from starrocks_tpu.config import CONFIG
+            return stream_execute(plan, self.tables,
+                                  block_rows=CONFIG.stream_block_rows)
         from starrocks_tpu.exec.plan import execute
         return execute(plan, self.tables)
 

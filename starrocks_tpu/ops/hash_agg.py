@@ -47,6 +47,12 @@ DENSE_LIMIT = 64  # max slots for the masked-reduction dense path
 
 VAR_FNS = ("var_pop", "var_samp", "stddev_pop", "stddev_samp")
 PCTL_FNS = ("percentile_cont", "percentile_disc")
+# HyperLogLog approximate distinct count (the reference's HLL sketch,
+# be/src/types/hll.h): register-array states are max-mergeable, which makes
+# them psum-class collectives distributed (lax.pmax over the register array)
+HLL_FNS = ("approx_count_distinct",)
+HLL_P_GROUPED = 10      # 1024 registers per group, ~3.2% std error
+HLL_P_GLOBAL = 14       # 16384 registers, ~0.8% std error
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +110,46 @@ def _variance_from_moments(fn, s1, s2, nn):
     if fn.startswith("stddev"):
         data = jnp.sqrt(data)
     return data, ok
+
+
+def _hll_reg_rho(c: Column, p: int):
+    """Per-row HLL (register index, rank): register = top p bits of the
+    64-bit value hash; rank = leading-zero count of the remaining bits + 1
+    (capped), the hll.h rho."""
+    from jax import lax
+    h = hashing.hash_columns([c])
+    reg = (h >> jnp.uint64(64 - p)).astype(jnp.int32)
+    rem = h << jnp.uint64(p)
+    rho = jnp.minimum(lax.clz(rem), 64 - p).astype(jnp.int32) + 1
+    return reg, rho
+
+
+def _hll_estimate(S, used, R):
+    """HLL harmonic-mean estimate with the linear-counting small-range
+    correction. S = sum over all R registers of 2^-M (empty registers
+    contribute 1); used = count of nonempty registers."""
+    alpha = 0.7213 / (1.0 + 1.079 / R)
+    E = alpha * R * R / S
+    zeros = (R - used).astype(jnp.float64)
+    lc = R * jnp.log(R / jnp.maximum(zeros, 1.0))
+    return jnp.where((E <= 2.5 * R) & (zeros > 0), lc, E)
+
+
+def hll_registers(c: Column, mask, p: int = HLL_P_GLOBAL):
+    """Register-max array (2^p,) int32 over masked rows — the mergeable HLL
+    state (elementwise max merges; lax.pmax merges across devices)."""
+    reg, rho = _hll_reg_rho(c, p)
+    R = 1 << p
+    idx = jnp.where(mask, reg, R)
+    return jnp.zeros((R,), jnp.int32).at[idx].max(
+        jnp.where(mask, rho, 0), mode="drop")
+
+
+def hll_estimate_registers(regs):
+    R = regs.shape[0]
+    S = jnp.sum(jnp.exp2(-regs.astype(jnp.float64)))
+    used = jnp.sum((regs > 0).astype(jnp.int64))
+    return _hll_estimate(S, used, R)
 
 
 # ---------------------------------------------------------------------------
@@ -230,6 +276,19 @@ def sorted_groupby(table: Table, key_names, aggs) -> Table:
                  if spec.fn in PCTL_FNS and spec.col not in key_names}
     for name in sorted(pctl_cols):
         norm.extend(fs.normalize_keys(table[name], nulls_first=False))
+    # HLL inputs sort by their hash REGISTER so per-(group, register) rank
+    # maxima are segment scans. One HLL column per aggregate (nested
+    # orderings would fragment each other's register runs) — the planner
+    # splits multiple approx-distincts into separate rejoined aggregates.
+    hll_cols = {spec.col for spec in aggs if spec.fn in HLL_FNS}
+    if hll_cols:
+        if len(hll_cols) > 1 or pctl_cols:
+            raise ValueError(
+                "one approx_count_distinct column per aggregate (and not "
+                "mixed with percentiles); the planner splits these")
+        (hname,) = hll_cols
+        hreg0, _ = _hll_reg_rho(table[hname], HLL_P_GROUPED)
+        norm.append((hreg0.astype(jnp.uint64), HLL_P_GROUPED))
 
     perm = fs.stable_argsort(norm, n)
     live_s = live[perm]
@@ -272,6 +331,29 @@ def sorted_groupby(table: Table, key_names, aggs) -> Table:
             cols[spec.out] = Column(nn, None, dt.INT64)
             continue
         in_col_ = table[spec.col]
+        if spec.fn in HLL_FNS:
+            # rows are (group, register)-sorted: per-register rank maxima are
+            # nested segment scans; each register-run end contributes 2^-max
+            # to the group's harmonic sum (hll.h estimate, distributed-free)
+            R = 1 << HLL_P_GROUPED
+            hc = Column(v, vvalid, in_col_.dtype, in_col_.dict_id)
+            reg, rho = _hll_reg_rho(hc, HLL_P_GROUPED)
+            regseg = start | (reg != jnp.roll(reg, 1))
+            regseg = regseg.at[0].set(True)
+            maxrho = su.seg_scan(jnp.maximum, regseg,
+                                 jnp.where(mask, rho, 0),
+                                 jnp.zeros((), jnp.int32))
+            reg_n = su.seg_sum(regseg, mask.astype(jnp.int64))
+            reg_end = jnp.roll(regseg, -1).at[-1].set(True)
+            has = reg_end & (reg_n > 0)
+            S_used = su.seg_sum(start, jnp.where(has, jnp.exp2(
+                -maxrho.astype(jnp.float64)), 0.0))
+            used = su.seg_sum(start, has.astype(jnp.int64))
+            S = S_used + (R - used).astype(jnp.float64)
+            E = _hll_estimate(S, used, R)
+            data = jnp.where(nn > 0, jnp.round(E), 0.0).astype(jnp.int64)
+            cols[spec.out] = Column(data, None, dt.INT64)
+            continue
         if spec.fn in VAR_FNS:
             vf = _as_float(v, in_col_.dtype)
             s1 = su.seg_sum(start, jnp.where(mask, vf, 0.0))
@@ -335,7 +417,8 @@ def groupby(table: Table, key_names: Sequence[str], aggs: Sequence[AggSpec]) -> 
     small (the AggHashMapVariant phase/width dispatch analog), else
     sort-based. Pure function of the table; no capacities, no retries."""
     ranges = dense_ranges(table, key_names)
-    if ranges is not None and not any(s.fn in PCTL_FNS for s in aggs):
+    if ranges is not None and not any(s.fn in PCTL_FNS or s.fn in HLL_FNS
+                                      for s in aggs):
         return dense_groupby(table, key_names, aggs, ranges)
     return sorted_groupby(table, key_names, aggs)
 

@@ -350,10 +350,13 @@ class DistExecutor:
             # colocated group-by: purely local, result sharded by part_keys
             return DistTable(hash_agg.groupby(dt.table, node.keys, node.aggs),
                              dt.part_keys, False)
-        if any(a.fn in hash_agg.PCTL_FNS for a in node.aggs):
+        if any(a.fn in hash_agg.PCTL_FNS or a.fn in hash_agg.HLL_FNS
+               for a in node.aggs):
             # percentile states don't merge (the reference ships full
             # percentile_union serialized state, be/src/exprs/agg/percentile
-            # — here raw rows shuffle instead): single-phase after exchange
+            # — here raw rows shuffle instead); grouped HLL also runs
+            # single-phase after exchange (per-group register arrays are
+            # mergeable but bulky as shuffle payload)
             shuffled = self._shuffle(dt, node.keys, node.node_id, slot=101)
             return DistTable(
                 hash_agg.groupby(shuffled.table, node.keys, node.aggs),
@@ -437,7 +440,9 @@ class DistExecutor:
             dt = DistTable(shuf.gather_rows(dt.table, AXIS), None, True)
         local = plan_mod._global_agg(
             dt.table,
-            tuple(a for a in node.aggs if a.fn not in hash_agg.VAR_FNS)
+            tuple(a for a in node.aggs
+                  if a.fn not in hash_agg.VAR_FNS
+                  and a.fn not in hash_agg.HLL_FNS)
             if not dt.replicated else node.aggs)
         if dt.replicated:
             return DistTable(local, None, True)
@@ -445,6 +450,19 @@ class DistExecutor:
         live = t.live_mask()
         cols = {}
         for a in node.aggs:
+            if a.fn in hash_agg.HLL_FNS:
+                # register arrays merge with ONE elementwise pmax across the
+                # mesh — the sketch's whole distributed advantage (hll.h
+                # serialize/merge collapses to a collective)
+                c = t[a.col]
+                mask = live if c.valid is None else (live & c.valid)
+                regs = hash_agg.hll_registers(c, mask)
+                regs = lax.pmax(regs, AXIS)
+                nn = lax.psum(jnp.sum(mask.astype(jnp.int64)), AXIS)
+                e = hash_agg.hll_estimate_registers(regs)
+                data = jnp.where(nn > 0, jnp.round(e), 0.0).astype(jnp.int64)
+                cols[a.out] = Column(data[None], None, dtp.INT64)
+                continue
             if a.fn in hash_agg.VAR_FNS:
                 # psum-merged moments (exactly the two-phase decomposition)
                 c = t[a.col]

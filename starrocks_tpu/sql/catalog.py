@@ -82,6 +82,49 @@ class Catalog:
         cat = cls()
         uk = unique_keys or TPCH_UNIQUE_KEYS
         for name, t in tables.items():
+            from starrocks_tpu.exec.stream import HostTable
+            if isinstance(t, HostTable):
+                # host-resident (out-of-core) table: ANALYZE on a host
+                # sample; no device uploads at registration
+                stats = {}
+                if collect_stats:
+                    n = t.nrows
+                    if n > sample:
+                        idx = np.random.default_rng(0).integers(0, n, sample)
+                        ht = t.gather(idx)
+                    else:
+                        ht = t
+                    for cname, col in ht.columns.items():
+                        d = col.data
+                        _, counts = np.unique(d, return_counts=True)
+                        ndv = len(counts)
+                        top_freq = float(counts.max() / max(len(d), 1)) \
+                            if len(counts) else 0.0
+                        if n > sample and ndv > sample // 2:
+                            ndv = min(n, int(ndv * max(1.0, n / sample) ** 0.5))
+                        full = t.columns[cname]
+                        if full.vrange is not None:
+                            mn, mx = float(full.vrange[0]), float(full.vrange[1])
+                        elif len(d) and d.dtype.kind in "if":
+                            mn, mx = float(d.min()), float(d.max())
+                        else:
+                            mn = mx = None
+                        stats[cname] = ColumnStats(ndv=max(int(ndv), 1),
+                                                   min=mn, max=mx,
+                                                   top_freq=top_freq)
+                zone_maps, block_rows = {}, 0
+                if collect_stats and t.nrows >= ZONE_MIN_BLOCKS * ZONE_BLOCK_ROWS:
+                    zone_maps, block_rows = _collect_host_zone_maps(t)
+                cat.add(TableMeta(
+                    name=name,
+                    schema={c: col.dtype for c, col in t.columns.items()},
+                    unique_keys=uk.get(name, []),
+                    size=t.nrows,
+                    stats=stats,
+                    zone_maps=zone_maps,
+                    block_rows=block_rows,
+                ))
+                continue
             stats = {}
             if collect_stats:
                 n = t.nrows
@@ -173,3 +216,28 @@ def _collect_zone_maps(t: Table):
     import numpy as np
     return ({c: (np.asarray(mn), np.asarray(mx)) for c, (mn, mx) in dev.items()},
             B)
+
+
+def _collect_host_zone_maps(t):
+    """Host-table zone maps: per-block min/max computed in numpy (the table
+    already lives in host RAM; no device round trip)."""
+    B = ZONE_BLOCK_ROWS
+    n = t.nrows
+    nb = (n + B - 1) // B
+    pad = nb * B - n
+    out = {}
+    for cname, col in t.columns.items():
+        d = col.data
+        if d.dtype.kind not in "iu":
+            continue
+        lo_sent = np.iinfo(d.dtype).max
+        hi_sent = np.iinfo(d.dtype).min
+        dead = np.zeros((n,), bool) if col.valid is None else ~col.valid
+        dpad = np.concatenate(
+            [np.where(dead, lo_sent, d), np.full((pad,), lo_sent, d.dtype)])
+        mins = dpad.reshape(nb, B).min(axis=1)
+        dpad = np.concatenate(
+            [np.where(dead, hi_sent, d), np.full((pad,), hi_sent, d.dtype)])
+        maxs = dpad.reshape(nb, B).max(axis=1)
+        out[cname] = (mins, maxs)
+    return out, B

@@ -261,13 +261,16 @@ AGG_NAME_MAP = {
     "stddev_samp": "stddev_samp",
     "percentile_cont": "percentile_cont", "percentile_disc": "percentile_disc",
 }
-# distinct-cardinality family: the reference answers these with HLL or
-# Roaring-bitmap sketches (be/src/types/hll.h, bitmap_union_count); exact
-# distinct aggregation costs the same here (sort-segmented group state), so
-# every sketch form maps onto it. `to_bitmap`/`hll_hash` inner wrappers are
-# identity at this exactness level and are unwrapped at plan time.
+# distinct-cardinality family (be/src/types/hll.h, bitmap_union_count).
+# The approximate members (approx_count_distinct / ndv / hll_union_agg) run
+# as real HLL register sketches (ops/hash_agg HLL_FNS) — no sort of the
+# input, pmax-mergeable distributed; the exact members
+# (bitmap_union_count(to_bitmap), multi_distinct_count, COUNT(DISTINCT))
+# run as two-level exact distinct aggregation. `to_bitmap`/`hll_hash`
+# inner wrappers are unwrapped at plan time.
 DISTINCT_SKETCH_FNS = ("approx_count_distinct", "ndv", "bitmap_union_count",
                        "hll_union_agg", "multi_distinct_count")
+APPROX_DISTINCT_FNS = ("approx_count_distinct", "ndv", "hll_union_agg")
 AGG_FN_NAMES = ("avg",) + DISTINCT_SKETCH_FNS + tuple(AGG_NAME_MAP)
 
 WINDOW_FN_NAMES = ("row_number", "rank", "dense_rank", "percent_rank",
@@ -1491,7 +1494,9 @@ class Planner:
                 arg = _gen("d")
                 pre_cols[arg] = b.bind(arg_ast)
                 out = _gen("cd")
-                distinct_aggs.append((node, arg, out))
+                approx = (not node.distinct
+                          and node.name in APPROX_DISTINCT_FNS)
+                distinct_aggs.append((node, arg, out, approx))
                 self._agg_map[id(node)] = ("col", out)
                 continue
             if node.name == "avg":
@@ -1530,30 +1535,8 @@ class Planner:
             return self._plan_grouping_sets(stmt, stream, plan, key_names,
                                             specs, distinct_aggs, est)
 
-        if distinct_aggs:
-            assert len(distinct_aggs) == 1, \
-                "multiple distinct aggregates unsupported"
-            node, arg, out = distinct_aggs[0]
-            d1 = Aggregate(plan, tuple(key_names) + (arg,), (),
-                           est_groups=max(est * 8, 64))
-            dcount = Aggregate(d1, tuple(key_names),
-                               (AggSpec("count", arg, out),), est_groups=est)
-            if not specs:
-                agg_plan = dcount
-            elif not key_names:
-                # global: attach the 1-row distinct count to the 1-row agg
-                base = Aggregate(plan, (), tuple(specs))
-                agg_plan = BroadcastScalar(base, dcount, (out,))
-            else:
-                # split-and-rejoin on the group keys (the reference's
-                # multi-stage distinct split, SplitAggregateRule)
-                base = Aggregate(plan, tuple(key_names), tuple(specs),
-                                 est_groups=est)
-                agg_plan = HashJoin(base, dcount, tuple(key_names),
-                                    tuple(key_names), "inner", (out,),
-                                    capacity=_cap(est), unique=True)
-        else:
-            agg_plan = Aggregate(plan, tuple(key_names), tuple(specs), est_groups=est)
+        agg_plan = self._plan_agg_with_distincts(plan, key_names, specs,
+                                                 distinct_aggs, est)
 
         # name map: group keys keep their sql names; agg outputs synthetic
         gk_map = {}
@@ -1561,8 +1544,7 @@ class Planner:
             gk_map[alias] = {sql: pn for sql, pn in m.items() if pn in key_names}
         synth = {pn: pn for pn in key_names}
         synth.update({s.out: s.out for s in specs})
-        if distinct_aggs:
-            synth[distinct_aggs[0][2]] = distinct_aggs[0][2]
+        synth.update({d[2]: d[2] for d in distinct_aggs})
         gk_map["_agg"] = synth
         out_rel = Relation(agg_plan, gk_map, [tuple(key_names)], max(1, est))
 
@@ -1576,6 +1558,51 @@ class Planner:
                     out_rel = dataclasses.replace(out_rel, plan=Filter(out_rel.plan, pred))
         return out_rel
 
+    def _plan_agg_with_distincts(self, plan, key_names, specs, distinct_aggs,
+                                 est):
+        """Aggregate with any number of DISTINCT aggregates: each distinct
+        runs as its own two-level aggregate (dedupe on keys+arg, then count
+        per key) and rejoins the base aggregate on the group keys with
+        null-safe equality (the reference's multi-stage distinct split,
+        SplitAggregateRule / multi-distinct aggs in be/src/exprs/agg/)."""
+        if not distinct_aggs:
+            return Aggregate(plan, tuple(key_names), tuple(specs),
+                             est_groups=est)
+
+        def dcount(arg, out, approx):
+            if approx:
+                # HLL sketch: single-level aggregate, no dedupe sort
+                return Aggregate(plan, tuple(key_names),
+                                 (AggSpec("approx_count_distinct", arg, out),),
+                                 est_groups=est)
+            d1 = Aggregate(plan, tuple(key_names) + (arg,), (),
+                           est_groups=max(est * 8, 64))
+            return Aggregate(d1, tuple(key_names),
+                             (AggSpec("count", arg, out),), est_groups=est)
+
+        dplans = [(arg, out, dcount(arg, out, approx))
+                  for _, arg, out, approx in distinct_aggs]
+        if not key_names:
+            # global: chain 1-row distinct counts onto the 1-row base agg
+            if specs:
+                agg_plan, rest = Aggregate(plan, (), tuple(specs)), dplans
+            else:
+                agg_plan, rest = dplans[0][2], dplans[1:]
+            for _, out, dp in rest:
+                agg_plan = BroadcastScalar(agg_plan, dp, (out,))
+            return agg_plan
+        if specs:
+            agg_plan, rest = Aggregate(plan, tuple(key_names), tuple(specs),
+                                       est_groups=est), dplans
+        else:
+            agg_plan, rest = dplans[0][2], dplans[1:]
+        for _, out, dp in rest:
+            agg_plan = HashJoin(agg_plan, dp, tuple(key_names),
+                                tuple(key_names), "inner", (out,),
+                                capacity=_cap(est), unique=True,
+                                null_safe=True)
+        return agg_plan
+
     def _plan_grouping_sets(self, stmt, stream: Relation, plan, key_names,
                             specs, distinct_aggs, est) -> Relation:
         """ROLLUP / CUBE / GROUPING SETS: one Aggregate per set over the same
@@ -1585,8 +1612,6 @@ class Planner:
         input and unioning the small outputs is the cheaper TPU shape),
         then UNION ALL. grouping(expr) binds to a per-branch literal."""
         from starrocks_tpu.exec.plan import SetOp
-        assert not distinct_aggs, \
-            "DISTINCT aggregates with GROUPING SETS unsupported"
 
         # resolve grouping(expr) calls -> group_by index + synthetic column
         grouping_calls: list[tuple] = []   # (node, key_index, out_name)
@@ -1630,8 +1655,8 @@ class Planner:
             if masked:
                 branch = AddColumns(branch,
                                     {k: E.NullLike(k) for k in masked})
-            agg = Aggregate(branch, tuple(key_names), tuple(specs),
-                            est_groups=est)
+            agg = self._plan_agg_with_distincts(branch, key_names, specs,
+                                                distinct_aggs, est)
             gcols = {name: E.Literal(0 if kidx in keep else 1, dt.INT64)
                      for _, kidx, name in grouping_calls}
             if gcols:
@@ -1648,6 +1673,7 @@ class Planner:
         synth = {pn: pn for pn in key_names}
         synth.update({s.out: s.out for s in specs})
         synth.update({name: name for _, _, name in grouping_calls})
+        synth.update({d[2]: d[2] for d in distinct_aggs})
         gk_map["_agg"] = synth
         nsets = len(stmt.grouping_sets)
         out_rel = Relation(agg_plan, gk_map, [], max(1, est * nsets))

@@ -138,7 +138,8 @@ def table_bytes(tables: dict) -> float:
             total += c.data.size * c.data.dtype.itemsize
             if c.valid is not None:
                 total += c.valid.size
-        if t.live is not None:
-            total += t.live.size
+        live = getattr(t, "live", None)   # HostTable has no live mask
+        if live is not None:
+            total += live.size
     REGISTRY.set_gauge("tables_bytes", float(total))
     return float(total)

@@ -11,6 +11,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+# No persistent XLA cache under tests: XLA:CPU caches AOT machine code whose
+# feature-set check is unreliable (the loader itself warns about SIGILL on
+# mismatch, and pseudo-features like +prefer-no-scatter false-positive even
+# same-machine); the r2 suite segfault stack pointed into exactly that
+# backend_compile_and_load path. CPU compiles are fast; cache off = hermetic.
+os.environ.setdefault("STARROCKS_TPU_COMPILE_CACHE", "0")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -19,6 +26,20 @@ import pytest  # noqa: E402
 import numpy as np  # noqa: E402
 
 from starrocks_tpu.io import tpch  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_state():
+    """The full suite compiles ~hundreds of distinct XLA:CPU modules in one
+    process; past ~180 tests the accumulated compile state reproducibly
+    segfaults inside backend_compile_and_load (jaxlib 0.9.0, XLA:CPU).
+    Dropping compiled executables between test modules bounds that state.
+    Module-scoped so intra-module jit reuse (the warm-path tests) is
+    untouched; cross-module recompiles are cheap on CPU."""
+    import gc
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture(scope="session")

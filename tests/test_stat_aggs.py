@@ -106,21 +106,56 @@ def test_sql_stat_aggs(data):
 
 
 def test_distinct_sketch_family(tpch_tables):
-    """ndv / bitmap_union_count(to_bitmap) / hll_union_agg(hll_hash) all
-    answer exactly what count(distinct) answers (the reference's sketch
-    aggregates, be/src/types/hll.h + bitmap functions)."""
+    """The approximate members (ndv / approx_count_distinct / hll_union_agg)
+    run as real HLL register sketches (be/src/types/hll.h analog) — within
+    a few percent of truth, never sorting the input; the exact members
+    (bitmap_union_count, multi_distinct_count) match count(distinct)."""
     from starrocks_tpu.exec.session import Session
     sess = Session(dict(tpch_tables))
     base = sess.sql("select count(distinct l_suppkey) c from lineitem").iloc[0, 0]
     for fn in ["ndv(l_suppkey)", "approx_count_distinct(l_suppkey)",
-               "bitmap_union_count(to_bitmap(l_suppkey))",
-               "hll_union_agg(hll_hash(l_suppkey))",
+               "hll_union_agg(hll_hash(l_suppkey))"]:
+        got = sess.sql(f"select {fn} c from lineitem").iloc[0, 0]
+        assert abs(got - base) <= max(0.05 * base, 2), fn
+    for fn in ["bitmap_union_count(to_bitmap(l_suppkey))",
                "multi_distinct_count(l_suppkey)"]:
         got = sess.sql(f"select {fn} c from lineitem").iloc[0, 0]
         assert got == base, fn
-    # grouped form
+    # grouped form: HLL per group within tolerance
     a = sess.sql("select l_returnflag, ndv(l_suppkey) c from lineitem"
                  " group by l_returnflag order by l_returnflag")
     b = sess.sql("select l_returnflag, count(distinct l_suppkey) c"
                  " from lineitem group by l_returnflag order by l_returnflag")
-    assert a.equals(b)
+    assert list(a.l_returnflag) == list(b.l_returnflag)
+    for x, y in zip(a.c, b.c):
+        assert abs(x - y) <= max(0.06 * y, 2)
+
+
+def test_multi_distinct_aggregates(tpch_tables):
+    """Several COUNT(DISTINCT ...) in one query (the multi-distinct split,
+    be/src/exprs/agg multi-distinct family; r2 lifted the single-distinct
+    restriction): each distinct runs as its own two-level aggregate and
+    rejoins null-safely on the group keys."""
+    import pandas as pd
+    from starrocks_tpu.exec.session import Session
+    sess = Session(dict(tpch_tables))
+    got = sess.sql(
+        "select l_returnflag, count(distinct l_suppkey) cs,"
+        " count(distinct l_partkey) cp, sum(l_quantity) q"
+        " from lineitem group by l_returnflag order by l_returnflag")
+    import numpy as np
+    li = pd.DataFrame({
+        "l_returnflag": np.asarray(
+            tpch_tables["lineitem"].to_pandas().l_returnflag),
+    })
+    ref = sess.sql("select l_returnflag, count(distinct l_suppkey) cs"
+                   " from lineitem group by l_returnflag order by l_returnflag")
+    ref2 = sess.sql("select l_returnflag, count(distinct l_partkey) cp"
+                    " from lineitem group by l_returnflag order by l_returnflag")
+    assert list(got.cs) == list(ref.cs)
+    assert list(got.cp) == list(ref2.cp)
+    # global form
+    g = sess.sql("select count(distinct l_suppkey) a,"
+                 " count(distinct l_partkey) b, count(*) c from lineitem")
+    assert g.a[0] == ref.cs.sum() or g.a[0] <= ref.cs.sum()
+    assert g.c[0] == tpch_tables["lineitem"].to_pandas().shape[0]
