@@ -53,6 +53,10 @@ class ExecContext:
         self.overflows: dict = {}
         self.used_sizes: dict = {}
         self.eager = eager
+        # diagnostic counters (EXPLAIN ANALYZE only: `profile` gates the
+        # host syncs they cost) — e.g. runtime-filter probe-row reduction
+        self.profile = False
+        self.counters: dict = {}
         # node-result memo: a materialized CTE is one shared subplan
         # referenced from several joins (the reference's CTE reuse,
         # MultiCastDataStreamSink analog) — it must run once per execution
@@ -339,7 +343,17 @@ class HashJoin(PlanNode):
         b = ctx.maybe_compact(self, b, tag="cb")
         if (ctx.eager and CONFIG.enable_runtime_filters
                 and self.join_type in self._RF_TYPES):
-            p = ctx.op(self, self._rf_kernel, p, b, key="rf")
+            use_bloom = (CONFIG.enable_bloom_rf
+                         and p.nrows >= CONFIG.bloom_rf_min_probe_rows)
+            bpk = CONFIG.bloom_rf_bits_per_key
+            prof = getattr(ctx, "profile", False)
+            before = int(_live_count(p.live_mask())) if prof else 0
+            p = ctx.op(self,
+                       lambda p, b: self._rf_kernel(p, b, use_bloom, bpk),
+                       p, b, key=("rf", use_bloom, bpk))
+            if prof:
+                ctx.counters[(self.node_id, "rf_rows_dropped")] = \
+                    before - int(_live_count(p.live_mask()))
         p = ctx.maybe_compact(self, p, tag="cp")
         # size the table off the actual (post-compaction) build shape, not
         # the planner's estimate: 2*Nb slots guarantees load factor <= 0.5
@@ -359,16 +373,19 @@ class HashJoin(PlanNode):
         return ctx.run_sized(self, self._expand_kernel, (p, b),
                              (cap0, self.fanout))
 
-    def _rf_kernel(self, p, b):
-        """Probe-side min-max runtime filter (RuntimeMembershipFilter's
-        min-max component, be/src/exprs/runtime_filter.h; membership
-        filtering itself is inherent to the probe). Marks probe rows whose
-        key falls outside the build side's [min, max] dead before the probe;
-        pays off through the compaction that follows."""
+    def _rf_kernel(self, p, b, use_bloom=False, bits_per_key=8):
+        """Probe-side runtime filter: min-max range check plus (for probes
+        worth two extra passes) a bloom membership filter over the build
+        keys (the RuntimeMembershipFilter analog,
+        be/src/exprs/runtime_filter.h:1093). Marks probe rows that cannot
+        match any build key dead before the probe; pays off through the
+        compaction that follows. Safe only for _RF_TYPES (joins that drop
+        unmatched probe rows); bloom false negatives are impossible (both
+        sides hash the identical key bytes)."""
         blive = b.live_mask()
         mask = p.live_mask()
-        for pk, bk in zip(self.left_keys, self.right_keys):
-            pc, bc = p[pk], b[bk]
+        ukeys = self._unified_keys(p, b)
+        for pc, bc in zip(*ukeys):
             bd = bc.data.astype(pc.data.dtype)
             bv = blive if bc.valid is None else (blive & bc.valid)
             lo = jnp.min(jnp.where(bv, bd, hash_agg._type_max(bd.dtype)))
@@ -379,9 +396,18 @@ class HashJoin(PlanNode):
                 # null-safe (<=>) join: NULL matches NULL, keep them
                 ok = (ok | ~pc.valid) if self.null_safe else (ok & pc.valid)
             mask = mask & ok
+        if use_bloom:
+            from starrocks_tpu.ops import bloom
+            pk, bk = ukeys
+            nbits = bloom.nbits_for(b.nrows, bits_per_key)
+            bits = bloom.build(bk, blive, nbits)
+            # NULL keys hash to one sentinel on both sides, so null-safe
+            # (NULL<=>NULL) membership is exact; plain-join NULL probe rows
+            # were already dropped by the validity check above
+            mask = mask & bloom.query(bits, pk)
         return p.with_live(mask)
 
-    def _keys(self, p, b):
+    def _unified_keys(self, p, b):
         pk = [p[k] for k in self.left_keys]
         bk = [b[k] for k in self.right_keys]
         for i, (pc, bc) in enumerate(zip(pk, bk)):
@@ -390,6 +416,10 @@ class HashJoin(PlanNode):
             if (pc.dtype.is_string and bc.dtype.is_string
                     and pc.dict_id != bc.dict_id):
                 pk[i], bk[i] = _unify_dicts(pc, bc)
+        return pk, bk
+
+    def _keys(self, p, b):
+        pk, bk = self._unified_keys(p, b)
         if self.null_safe:
             # <=> semantics: coalesce NULL key data to 0 and append the
             # validity bit as an extra key column so NULL==NULL matches

@@ -1,0 +1,66 @@
+"""Bloom (membership) runtime filter.
+
+Analog of StarRocks' RuntimeMembershipFilter
+(be/src/exprs/runtime_filter.h:1093 — a bucketed bloom over build-side join
+keys, pushed to probe-side scans) redesigned for the TPU:
+
+- The filter is a pow2-sized BOOL bit array in HBM (one byte per bit on the
+  VPU — trading 8x space for scatter/gather-free elementwise ops; at 8 bits
+  per build key the array is the size of one int64 build column).
+- Build = one scatter of `ones` at k=2 hash positions (XLA lowers .at[].set
+  to a scatter); query = two gathers + AND. Both are pure VPU/HBM-bandwidth
+  ops with zero host sync.
+- Distributed propagation (runtime_filter_worker.h:127 merge/broadcast):
+  each device builds the bloom of its LOCAL build shard, one `lax.pmax`
+  merges them into the global filter (the OR-merge of the reference's
+  RuntimeFilterMerger collapses into a collective), and probe rows are
+  filtered BEFORE the shuffle — rows that cannot join never cross ICI.
+
+Two derived hash positions come from the high/low halves of the splitmix64
+column hash (ops/hashing.py), masked to the pow2 size.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+from starrocks_tpu.column.column import Column
+from starrocks_tpu.ops import hashing
+
+_SEED = 0xB100F
+
+
+def nbits_for(n_keys: int, bits_per_key: int) -> int:
+    """Pow2 bloom size (static, from the build table's row capacity)."""
+    target = max(64, n_keys * bits_per_key)
+    return 1 << (target - 1).bit_length()
+
+
+def _positions(cols: Sequence[Column], nbits: int):
+    h = hashing.hash_columns(cols, seed=_SEED)
+    mask = jnp.uint64(nbits - 1)
+    return (h & mask).astype(jnp.int32), \
+        ((h >> jnp.uint64(32)) & mask).astype(jnp.int32)
+
+
+def build(cols: Sequence[Column], live: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """Bloom bit array (bool[nbits]) over the live rows' key tuples."""
+    p1, p2 = _positions(cols, nbits)
+    n = live.shape[0]
+    # dead rows write to a sacrificial slot (index nbits, sliced off)
+    sl = jnp.where(live, p1, nbits)
+    s2 = jnp.where(live, p2, nbits)
+    bits = jnp.zeros((nbits + 1,), jnp.bool_)
+    ones = jnp.ones((n,), jnp.bool_)
+    bits = bits.at[sl].set(ones, mode="drop")
+    bits = bits.at[s2].set(ones, mode="drop")
+    return bits[:nbits]
+
+
+def query(bits: jnp.ndarray, cols: Sequence[Column]) -> jnp.ndarray:
+    """possibly-present mask for each row's key tuple (false => no match)."""
+    nbits = bits.shape[0]
+    p1, p2 = _positions(cols, nbits)
+    return bits[p1] & bits[p2]

@@ -239,6 +239,7 @@ class DistExecutor:
         With node.skew_salt > 1 (ANALYZE heavy-hitter annotation) the probe
         side salts across `salt` devices and matching build rows replicate
         (P13, the is_skew_join analog, hash_joiner.h:75)."""
+        from starrocks_tpu.config import CONFIG
         ndev = lax.axis_size(AXIS)
         p, b = pdt.table, bdt.table
         # equal string keys must hash equally: unify dictionaries pre-exchange
@@ -249,6 +250,19 @@ class DistExecutor:
                 pc2, bc2 = plan_mod._unify_dicts(pc, bc)
                 p = p.with_column(pk, pc2)
                 b = b.with_column(bk, bc2)
+        if (CONFIG.enable_bloom_rf and node.join_type in HashJoin._RF_TYPES):
+            # cross-fragment bloom RF (runtime_filter_worker.h:127): each
+            # device blooms its LOCAL build shard, one pmax OR-merges the
+            # global filter, and probe rows that cannot join die BEFORE the
+            # exchange — they never cross ICI (filter-before-shuffle)
+            from starrocks_tpu.ops import bloom
+            nbits = bloom.nbits_for(b.nrows * ndev,
+                                    CONFIG.bloom_rf_bits_per_key)
+            local = bloom.build([b[k] for k in node.right_keys],
+                                b.live_mask(), nbits)
+            bits = lax.pmax(local.astype(jnp.int32), AXIS) > 0
+            ok = bloom.query(bits, [p[k] for k in node.left_keys])
+            p = p.with_live(p.live_mask() & ok)
         salt = max(1, min(int(getattr(node, "skew_salt", 1)), ndev))
         pkey, bkey = (node.node_id, 104), (node.node_id, 105)
         pcap = self.ctx.capacity(pkey, 0) or max(64, (2 * p.nrows) // ndev)

@@ -78,6 +78,7 @@ def explain_analyze(plan: PlanNode, tables, capacities: Optional[dict] = None):
     """Run eagerly with per-node timing. Returns (result Table, NodeProfile)."""
     caps = dict(capacities or getattr(plan, "_converged_caps", {}))
     ctx = ExecContext(tables, caps, eager=True)
+    ctx.profile = True
     profiles: dict[int, NodeProfile] = {}
 
     def run(node: PlanNode) -> object:
@@ -108,6 +109,9 @@ def explain_analyze(plan: PlanNode, tables, capacities: Optional[dict] = None):
             n = int(np.asarray(out.num_live()))  # forces completion
             prof.wall_ms = (time.perf_counter() - t0) * 1e3
             prof.rows_out = n
+            rf = ctx.counters.get((node.node_id, "rf_rows_dropped"))
+            if rf is not None:
+                prof.detail += f" rf_rows_dropped={rf}"
         finally:
             for name, v in saved.items():
                 object.__setattr__(node, name, v)

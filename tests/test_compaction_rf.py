@@ -160,3 +160,82 @@ def test_compaction_off_matches_on():
     n_ = on.sort_values("k").reset_index(drop=True)
     assert (o["k"].to_numpy() == n_["k"].to_numpy()).all()
     assert (o["s"].to_numpy() == n_["s"].to_numpy()).all()
+
+
+@pytest.fixture
+def bloom_on():
+    old = (CONFIG.enable_bloom_rf, CONFIG.bloom_rf_min_probe_rows,
+           CONFIG.enable_runtime_filters)
+    set_config(enable_bloom_rf=True, bloom_rf_min_probe_rows=1,
+               enable_runtime_filters=True)
+    yield
+    set_config(enable_bloom_rf=old[0], bloom_rf_min_probe_rows=old[1],
+               enable_runtime_filters=old[2])
+
+
+def _gapped_tables(n=4000):
+    # build keys are sparse EVENS inside [0, 1000): min-max keeps every
+    # probe row, only the bloom membership filter can drop the odds
+    fact = Table(columns={
+        "k": Column.from_numpy(np.arange(n) % 1000, dt.INT64),
+        "v": Column.from_numpy(np.arange(n), dt.INT64)})
+    dimv = np.arange(0, 1000, 2)
+    dim = Table(columns={"dk": Column.from_numpy(dimv, dt.INT64),
+                         "dv": Column.from_numpy(dimv * 3, dt.INT64)})
+    return {"fact": fact, "dim": dim}, n
+
+
+def test_bloom_rf_exact_and_drops(bloom_on):
+    tables, n = _gapped_tables()
+    plan = P.Sort(
+        P.HashJoin(P.Scan("fact"), P.Scan("dim"), ("k",), ("dk",), "inner",
+                   ("dv",), capacity=2048, unique=True),
+        keys=(SortKey("v"),))
+    got = _run(plan, tables)
+    # exact: only even keys join, dv = 3k
+    assert len(got) == n // 2
+    assert (got["k"].to_numpy() % 2 == 0).all()
+    assert (got["dv"].to_numpy() == got["k"].to_numpy() * 3).all()
+    # off-vs-on identical
+    set_config(enable_bloom_rf=False)
+    plan2 = P.Sort(
+        P.HashJoin(P.Scan("fact"), P.Scan("dim"), ("k",), ("dk",), "inner",
+                   ("dv",), capacity=2048, unique=True),
+        keys=(SortKey("v"),))
+    got2 = _run(plan2, tables)
+    assert (got["v"].to_numpy() == got2["v"].to_numpy()).all()
+
+
+def test_bloom_rf_profile_counter(bloom_on):
+    from starrocks_tpu.utils.profile import explain_analyze
+    tables, n = _gapped_tables()
+    plan = P.HashJoin(P.Scan("fact"), P.Scan("dim"), ("k",), ("dk",),
+                      "inner", ("dv",), capacity=2048, unique=True)
+    _, prof = explain_analyze(plan, tables)
+    txt = prof.render()
+    # the bloom RF kills the odd-key probe rows BEFORE the probe (minus a
+    # few % false positives at 8 bits/key, k=2)
+    assert "rf_rows_dropped" in txt
+    import re
+    drops = int(re.search(r"rf_rows_dropped=(\d+)", txt).group(1))
+    assert drops >= int(0.9 * (n // 2))
+
+
+def test_bloom_rf_null_safe_join(bloom_on):
+    # null-safe (<=>) equality: NULL probe keys must survive the bloom and
+    # match NULL build keys
+    pk = np.array([1, 2, 3, 4, 5, 6, 7, 8], np.int64)
+    pvalid = np.array([1, 1, 0, 1, 0, 1, 1, 1], bool)
+    bk = np.array([2, 4, 9], np.int64)
+    bvalid = np.array([1, 1, 0], bool)
+    tables = {
+        "f": Table(columns={"k": Column.from_numpy(pk, dt.INT64,
+                                                   valid=pvalid)}),
+        "d": Table(columns={"dk": Column.from_numpy(bk, dt.INT64,
+                                                    valid=bvalid)}),
+    }
+    plan = P.HashJoin(P.Scan("f"), P.Scan("d"), ("k",), ("dk",), "semi",
+                      (), capacity=64, unique=False, null_safe=True)
+    got = _run(plan, tables)
+    # matches: k=2, k=4, and the two NULL probe rows (NULL <=> NULL)
+    assert len(got) == 4
