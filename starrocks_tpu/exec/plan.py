@@ -217,6 +217,12 @@ class BlockScan(PlanNode):
     blocks: tuple[int, ...]
     block_rows: int
     columns: Optional[tuple[str, ...]] = None
+    # the pruning predicate as closed intervals (col, lo|None, hi|None): a
+    # block survives iff its [min,max] intersects every interval. Recorded
+    # so the DISTRIBUTED executor can re-prune against per-shard zone maps
+    # (the plan-time `blocks` are global-row-order block ids, meaningless
+    # after hash placement).
+    pred_ranges: tuple = ()
 
     def run(self, ctx):
         t = ctx.tables[self.table]

@@ -79,13 +79,52 @@ def partition_table(table: Table, keys: Optional[tuple[str, ...]], ndev: int) ->
     flat = idx.reshape(-1)
     ok = flat >= 0
     safe = np.where(ok, flat, 0)
-    cols = {}
+    np_cols, np_valids = {}, {}
     for name, c in table.columns.items():
-        data = jnp.asarray(np.asarray(c.data)[safe])
-        valid = None if c.valid is None else jnp.asarray(np.asarray(c.valid)[safe])
-        cols[name] = Column(data, valid, c.dtype, c.dict_id)
-    live = np.asarray(table.live_mask())[safe] & ok
-    return Table(columns=cols, live=jnp.asarray(live))
+        np_cols[name] = np.asarray(c.data)[safe]
+        np_valids[name] = None if c.valid is None \
+            else np.asarray(c.valid)[safe]
+    live_np = np.asarray(table.live_mask())[safe] & ok
+    cols = {name: Column(jnp.asarray(np_cols[name]),
+                         None if np_valids[name] is None
+                         else jnp.asarray(np_valids[name]),
+                         c.dtype, c.dict_id)
+            for name, c in table.columns.items()}
+    out = Table(columns=cols, live=jnp.asarray(live_np))
+    out._np_shards = (np_cols, np_valids, live_np, ndev, per)
+    return out
+
+
+def shard_zone_maps(table: Table) -> tuple[dict, int]:
+    """Per-shard per-block [min, max] zone maps for a partition_table result
+    (the per-tablet zonemap index the reference keeps per rowset segment,
+    be/src/storage/rowset/zone_map_index.h). partition_table is order-stable
+    within each shard, so a cluster-sort on the source column survives
+    placement and pruning stays effective in dist mode. Returns
+    ({col: (mins, maxs) of shape (ndev, nblocks)}, block_rows)."""
+    np_cols, np_valids, live_np, ndev, per = table._np_shards
+    B = max(64, 1 << max(0, (max(per, 1) // 64).bit_length() - 1))
+    nb = -(-per // B)
+    pad = nb * B - per
+    live = live_np.reshape(ndev, per)
+    zm = {}
+    for name, arr in np_cols.items():
+        if arr.dtype.kind not in "iu":
+            continue
+        a = arr.reshape(ndev, per)
+        v = live if np_valids[name] is None \
+            else (live & np_valids[name].reshape(ndev, per))
+        info = np.iinfo(arr.dtype)
+        lo = np.where(v, a, info.max)
+        hi = np.where(v, a, info.min)
+        if pad:
+            lo = np.concatenate(
+                [lo, np.full((ndev, pad), info.max, arr.dtype)], axis=1)
+            hi = np.concatenate(
+                [hi, np.full((ndev, pad), info.min, arr.dtype)], axis=1)
+        zm[name] = (lo.reshape(ndev, nb, B).min(axis=2),
+                    hi.reshape(ndev, nb, B).max(axis=2))
+    return zm, B
 
 
 @dataclasses.dataclass
@@ -94,6 +133,10 @@ class DistTable:
     table: Table
     part_keys: Optional[tuple[str, ...]]  # hash-partitioned on these keys
     replicated: bool = False
+    # host-side per-shard zone maps (set by place_tables, used by the
+    # coordinator to prune BlockScans before launching the SPMD program)
+    zone_maps: Optional[dict] = None
+    zone_block_rows: int = 0
 
 
 def place_tables(
@@ -111,8 +154,10 @@ def place_tables(
             out[name] = DistTable(sharded, None, replicated=True)
         else:
             pt = partition_table(t, spec, ndev)
+            zm, brows = shard_zone_maps(pt)
             sharded = jax.device_put(pt, NamedSharding(mesh, P(AXIS)))
-            out[name] = DistTable(sharded, spec, replicated=False)
+            out[name] = DistTable(sharded, spec, replicated=False,
+                                  zone_maps=zm, zone_block_rows=brows)
     return out
 
 
@@ -145,9 +190,14 @@ _RIGHT_FAMILY = ("right_semi", "right_anti", "right_outer", "full_outer")
 
 
 class DistExecutor:
-    def __init__(self, ctx: plan_mod.ExecContext, dist_tables: dict[str, DistTable]):
+    def __init__(self, ctx: plan_mod.ExecContext,
+                 dist_tables: dict[str, DistTable],
+                 block_sel: Optional[dict] = None):
         self.ctx = ctx
         self.dist = dist_tables
+        # node_id -> (local surviving-block ids (maxb,), block_rows): the
+        # coordinator's per-shard zone-map pruning (dist_execute)
+        self.block_sel = block_sel or {}
         self._memo: dict[int, DistTable] = {}   # shared CTE subplans (DAGs)
 
     # -- helpers -----------------------------------------------------------
@@ -190,15 +240,32 @@ class DistExecutor:
         return DistTable(t, dt.part_keys, dt.replicated)
 
     def _run_BlockScan(self, node) -> DistTable:
-        # zone-map block ids are computed against the global row order; a
-        # hash-placed shard has its own — fall back to the full shard scan
-        # (the following Filter keeps semantics; pruning is a single-chip
-        # optimization for now)
+        # the plan-time block ids are global-row-order; after hash placement
+        # each shard has its OWN zone maps, so the coordinator re-pruned
+        # against them and passed per-device surviving-block id arrays in
+        # (dist_execute). Without them: full shard scan (the following
+        # Filter keeps semantics).
         dt = self.dist[node.table]
         t = dt.table
         if node.columns is not None:
             t = t.select(list(node.columns))
-        return DistTable(t, dt.part_keys, dt.replicated)
+        sel = self.block_sel.get(node.node_id)
+        if sel is None or dt.replicated:
+            return DistTable(t, dt.part_keys, dt.replicated)
+        blocks, B = sel
+        blocks = blocks.reshape(-1)
+        n = t.nrows
+        idx = (blocks.astype(jnp.int32)[:, None] * B
+               + jnp.arange(B, dtype=jnp.int32)[None, :]).reshape(-1)
+        inb = idx < n               # sentinel blocks start at >= n
+        safe = jnp.where(inb, idx, 0)
+        cols = {name: Column(c.data[safe],
+                             None if c.valid is None
+                             else (c.valid[safe] & inb),
+                             c.dtype, c.dict_id)
+                for name, c in t.columns.items()}
+        live = inb if t.live is None else (t.live[safe] & inb)
+        return DistTable(Table(columns=cols, live=live), dt.part_keys, False)
 
     def _run_Filter(self, node: Filter) -> DistTable:
         dt = self.run(node.child)
@@ -527,11 +594,29 @@ class DistExecutor:
     def _run_CrossJoin(self, node) -> DistTable:
         # nested-loop product: replicate the (small) right side, expand
         # locally against each device's left shard
+        from starrocks_tpu.column.column import compact_table
         ldt = self.run(node.left)
         rdt = self.run(node.right)
         if not rdt.replicated:
             rdt = DistTable(shuf.gather_rows(rdt.table, AXIS), None, True)
         t, b = ldt.table, rdt.table
+        # compact both sides to fitted pow2 capacities before the quadratic
+        # expansion (the single-chip path compacts eagerly; here a sized
+        # compaction + overflow-flag retry bounds n*m to ~live rows, not
+        # dead-padded capacities)
+        for key, tag in (((node.node_id, 108), "l"), ((node.node_id, 109), "r")):
+            side = t if tag == "l" else b
+            cap = self.ctx.capacity(key, 0) or max(
+                16, hash_agg._next_pow2(max(side.nrows // 4, 1)))
+            self.ctx.capacities[key] = cap
+            if cap < side.nrows:
+                self.ctx.report(
+                    key, jnp.sum(side.live_mask().astype(jnp.int32)) > cap)
+                side = compact_table(side, cap)
+                if tag == "l":
+                    t = side
+                else:
+                    b = side
         n, m = t.nrows, b.nrows
         li = jnp.repeat(jnp.arange(n, dtype=jnp.int32), m)
         ri = jnp.tile(jnp.arange(m, dtype=jnp.int32), n)
@@ -655,9 +740,17 @@ class DistExecutor:
         return DistTable(sort_table(shuffled, node.keys, None), None, False)
 
     def _run_Limit(self, node: Limit) -> DistTable:
+        from starrocks_tpu.column.column import compact_table
         dt = self.run(node.child)
         if not dt.replicated:
-            dt = DistTable(shuf.gather_rows(dt.table, AXIS), None, True)
+            # local limit below the exchange (the reference pushes LIMIT
+            # into each LocalExchange source, local_exchange.h:110): each
+            # shard compacts its first n live rows into an n-row buffer, so
+            # the gather moves ndev*n rows instead of whole padded shards
+            local = dt.table
+            if node.n < local.nrows:
+                local = compact_table(local, node.n)
+            dt = DistTable(shuf.gather_rows(local, AXIS), None, True)
         t = dt.table
         live = t.live_mask()
         from starrocks_tpu.ops import scan_utils as su
@@ -702,6 +795,42 @@ def annotate_skew(plan: PlanNode, catalog, ndev: int) -> None:
 # coordinator entry point
 # ---------------------------------------------------------------------------
 
+def plan_block_selections(plan: PlanNode, dist_tables: dict[str, DistTable],
+                          ndev: int) -> dict[int, tuple]:
+    """Coordinator-side zone-map pruning: re-evaluate each BlockScan's
+    pruning intervals against the PER-SHARD zone maps place_tables recorded,
+    producing per-device surviving-block id arrays (pow2-padded with a
+    sentinel). Restores P3/zonemap pruning in dist mode
+    (segment_iterator.cpp:220). Returns {node_id: ((ndev, maxb) int32, B)}."""
+    sels: dict[int, tuple] = {}
+    for node in plan.walk():
+        if (type(node).__name__ != "BlockScan"
+                or not getattr(node, "pred_ranges", ())):
+            continue
+        dt = dist_tables.get(node.table)
+        if dt is None or dt.replicated or not dt.zone_maps:
+            continue
+        zm, B = dt.zone_maps, dt.zone_block_rows
+        nb = next(iter(zm.values()))[0].shape[1]
+        keep = np.ones((ndev, nb), bool)
+        for cname, lo, hi in node.pred_ranges:
+            if cname not in zm:
+                continue
+            mins, maxs = zm[cname]
+            if lo is not None:
+                keep &= maxs >= lo
+            if hi is not None:
+                keep &= mins <= hi
+        maxb = 1 << max(int(keep.sum(axis=1).max()) - 1, 0).bit_length()
+        if maxb >= nb:
+            continue                     # pruning wouldn't shrink the shape
+        sel = np.full((ndev, maxb), nb, np.int32)   # sentinel: dead rows
+        for d in range(ndev):
+            ids = np.nonzero(keep[d])[0][:maxb]
+            sel[d, :len(ids)] = ids
+        sels[node.node_id] = (sel, B)
+    return sels
+
 def dist_execute(
     plan: PlanNode,
     dist_tables: dict[str, DistTable],
@@ -722,19 +851,32 @@ def dist_execute(
 
     names = sorted(dist_tables)
     meta = {n: (dist_tables[n].part_keys, dist_tables[n].replicated) for n in names}
+    ndev = mesh.devices.size
+
+    sels = plan_block_selections(plan, dist_tables, ndev)
+    sel_ids = sorted(sels)
+
+    trace_holder: dict = {}
 
     def make_fn(caps):
-        def body(*tabs):
+        def body(*args):
+            tabs, selarrs = args[:len(names)], args[len(names):]
             dts = {
                 n: DistTable(t, meta[n][0], meta[n][1])
                 for n, t in zip(names, tabs)
             }
+            block_sel = {nid: (sarr, sels[nid][1])
+                         for nid, sarr in zip(sel_ids, selarrs)}
             ctx = plan_mod.ExecContext({}, dict(caps))
-            ex = DistExecutor(ctx, dts)
+            trace_holder["ctx"] = ctx
+            ex = DistExecutor(ctx, dts, block_sel)
             out = ex.run(plan)
             table = out.table
-            if not out.replicated:
-                table = shuf.gather_rows(table, AXIS)
+            if out.replicated:
+                # keep one copy: only device 0's rows stay live in the
+                # host-collected (device-major) output
+                table = table.with_live(
+                    table.live_mask() & (lax.axis_index(AXIS) == 0))
             flags = {k: lax.psum(jnp.asarray(v, jnp.int32), AXIS)
                      for k, v in ctx.overflows.items()}
             return table, flags
@@ -743,22 +885,33 @@ def dist_execute(
             jax.tree_util.tree_map(
                 lambda _: P() if meta[n][1] else P(AXIS), dist_tables[n].table)
             for n in names
-        )
+        ) + tuple(P(AXIS) for _ in sel_ids)
+        # the result stays SHARDED (device-major concat on collection): no
+        # final all_gather replicating the whole result to every device
         fn = shard_map(body, mesh=mesh, in_specs=in_specs,
-                       out_specs=(P(), P()), check_vma=False)
+                       out_specs=(P(AXIS), P()), check_vma=False)
         return jax.jit(fn)
 
+    sel_args = [jnp.asarray(sels[i][0]) for i in sel_ids]
     for _ in range(max_retries):
         key = tuple(sorted(capacities.items()))
         if key not in jit_cache:
             jit_cache[key] = make_fn(dict(capacities))
-        out, flags = jit_cache[key](*[dist_tables[n].table for n in names])
+        out, flags = jit_cache[key](
+            *[dist_tables[n].table for n in names], *sel_args)
         flagged = [k for k, f in flags.items() if int(f) > 0]
         if not flagged:
             plan._dist_caps = dict(capacities)
             return out
+        tctx = trace_holder.get("ctx")
         for k in flagged:
             cur = capacities.get(k)
+            if cur is None and tctx is not None:
+                # seed growth from the size the trace ACTUALLY used (its
+                # default insert), not the node's cold 4096 default —
+                # avoids restarting capacity growth from scratch on big
+                # shuffles (each wasted step is a minutes-scale recompile)
+                cur = tctx.capacities.get(k)
             if cur is None:
                 nid = k[0] if isinstance(k, tuple) else k
                 node = next((n for n in plan.walk() if n.node_id == nid), None)

@@ -696,6 +696,9 @@ class Planner:
         import numpy as np
         nb = len(next(iter(meta.zone_maps.values()))[0])
         keep = np.ones(nb, bool)
+        ranges = []   # closed intervals (col, lo|None, hi|None) — recorded
+        #               on the BlockScan so the distributed executor can
+        #               re-prune against per-shard zone maps
 
         def lit_value(node, col_dtype):
             node = fold_const(node)
@@ -734,10 +737,13 @@ class Planner:
                 mins, maxs = meta.zone_maps[col.name]
                 if op == "=":
                     keep &= (mins <= v) & (v <= maxs)
+                    ranges.append((col.name, v, v))
                 elif op in ("<", "<="):
                     keep &= mins <= v if op == "<=" else mins < v
+                    ranges.append((col.name, None, v))
                 else:
                     keep &= maxs >= v if op == ">=" else maxs > v
+                    ranges.append((col.name, v, None))
             elif isinstance(p, ast.BetweenExpr) and not p.negated:
                 e = fold_const(p.expr)
                 if not isinstance(e, ast.Col) or e.name not in meta.zone_maps:
@@ -748,6 +754,7 @@ class Planner:
                     continue
                 mins, maxs = meta.zone_maps[e.name]
                 keep &= (maxs >= lo) & (mins <= hi)
+                ranges.append((e.name, lo, hi))
 
         frac = keep.mean() if nb else 1.0
         if frac > 0.75:
@@ -772,7 +779,7 @@ class Planner:
         def swap(plan):
             if isinstance(plan, Scan):
                 return BlockScan(plan.table, blocks, meta.block_rows,
-                                 plan.columns)
+                                 plan.columns, pred_ranges=tuple(ranges))
             if isinstance(plan, Project) and isinstance(plan.child, Scan):
                 return Project(swap(plan.child), plan.outputs)
             return None

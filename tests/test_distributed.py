@@ -300,3 +300,86 @@ def test_distributed_full_outer_replicated_probe(mesh):
     for c in ("pk", "pv", "bk", "bv"):
         a, b = got_s[c].to_numpy(float), want_s[c].to_numpy(float)
         assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+
+
+def test_distributed_blockscan_zone_pruning(mesh):
+    """Per-shard zone maps restore block pruning in dist mode: a table
+    cluster-sorted on `d` stays sorted WITHIN each hash shard (stable
+    placement), so most per-shard blocks miss a narrow d-range predicate."""
+    import jax.numpy as jnp
+    from starrocks_tpu.column import dtypes as dt
+    from starrocks_tpu.column.column import Column, Table
+    from starrocks_tpu.exec.plan import BlockScan, Filter, Aggregate
+    from starrocks_tpu.exprs.expr import col, lift as lit
+    from starrocks_tpu.ops.hash_agg import AggSpec
+
+    n = 1 << 14
+    rng = np.random.default_rng(5)
+    d_sorted = np.sort(rng.integers(0, 10000, n)).astype(np.int64)
+    t = Table(columns={
+        "k": Column.from_numpy(rng.integers(0, 997, n).astype(np.int64),
+                               dt.INT64),
+        "d": Column.from_numpy(d_sorted, dt.INT64),
+        "v": Column.from_numpy(np.arange(n, dtype=np.int64), dt.INT64),
+    })
+    dtabs = D.place_tables({"f": t}, mesh, {"f": ("k",)})
+    lo, hi = 4000, 4500
+    plan = Aggregate(
+        Filter(BlockScan("f", blocks=(), block_rows=0,
+                         pred_ranges=(("d", lo, hi),)),
+               (col("d") >= lit(lo)) & (col("d") <= lit(hi))),
+        keys=(), aggs=(AggSpec("sum", "v", "s"), AggSpec("count", "v", "c")))
+    # the coordinator must actually prune (shape reduction on every device)
+    sels = D.plan_block_selections(plan, dtabs, 8)
+    assert sels, "pruning did not engage"
+    (sel, B), = sels.values()
+    zm_nb = next(iter(dtabs["f"].zone_maps.values()))[0].shape[1]
+    assert sel.shape[1] < zm_nb
+    got = D.dist_execute(plan, dtabs, mesh).to_pandas()
+    mask = (d_sorted >= lo) & (d_sorted <= hi)
+    assert got["s"][0] == np.arange(n)[mask].sum()
+    assert got["c"][0] == int(mask.sum())
+
+
+def test_distributed_limit_local_first(mesh):
+    """LIMIT takes n rows per shard BEFORE the gather; result is exactly n
+    rows all drawn from the (filtered) valid set."""
+    from starrocks_tpu.column import dtypes as dt
+    from starrocks_tpu.column.column import Column, Table
+    from starrocks_tpu.exec.plan import Filter, Limit, Scan
+    from starrocks_tpu.exprs.expr import col, lift as lit
+
+    n = 4096
+    t = Table(columns={
+        "k": Column.from_numpy(np.arange(n, dtype=np.int64), dt.INT64)})
+    dtabs = D.place_tables({"f": t}, mesh, {"f": ("k",)})
+    plan = Limit(Filter(Scan("f"), col("k") >= lit(1000)), 37)
+    got = D.dist_execute(plan, dtabs, mesh).to_pandas()
+    assert len(got) == 37
+    assert (got["k"].to_numpy() >= 1000).all()
+
+
+def test_distributed_cross_join_compacted(mesh):
+    """Dist CrossJoin compacts both sides first: a selective filter under
+    the cross join must not blow up padded-capacity products; results exact."""
+    from starrocks_tpu.column import dtypes as dt
+    from starrocks_tpu.column.column import Column, Table
+    from starrocks_tpu.exec.plan import CrossJoin, Filter, Scan, Aggregate
+    from starrocks_tpu.exprs.expr import col, lift as lit
+    from starrocks_tpu.ops.hash_agg import AggSpec
+
+    n = 2048
+    t = Table(columns={
+        "a": Column.from_numpy(np.arange(n, dtype=np.int64), dt.INT64)})
+    r = Table(columns={
+        "b": Column.from_numpy(np.arange(64, dtype=np.int64), dt.INT64)})
+    dtabs = D.place_tables({"l": t, "r": r}, mesh,
+                           {"l": ("a",), "r": ("b",)})
+    plan = Aggregate(
+        CrossJoin(Filter(Scan("l"), col("a") < lit(10)),
+                  Filter(Scan("r"), col("b") < lit(5)), ("b",)),
+        keys=(), aggs=(AggSpec("count_star", "a", "c"),
+                       AggSpec("sum", "b", "sb")))
+    got = D.dist_execute(plan, dtabs, mesh).to_pandas()
+    assert got["c"][0] == 10 * 5
+    assert got["sb"][0] == 10 * (0 + 1 + 2 + 3 + 4)
