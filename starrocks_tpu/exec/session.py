@@ -23,6 +23,7 @@ class Session:
         self.catalog = catalog or Catalog.from_tables(tables)
         self.mesh = mesh
         self._dist_tables = None
+        self._partitioning = partitioning
         if mesh is not None:
             from starrocks_tpu.parallel import dist as D
             self._dist_tables = D.place_tables(
@@ -72,7 +73,8 @@ class Session:
         if self.mesh is not None:
             from starrocks_tpu.parallel import dist as D
             self._dist_tables = D.place_tables(
-                self.tables, self.mesh, D.TPCH_PARTITIONING)
+                self.tables, self.mesh,
+                self._partitioning or D.TPCH_PARTITIONING)
 
     def drop(self, name: str) -> None:
         self.tables.pop(name, None)

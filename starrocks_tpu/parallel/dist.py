@@ -762,30 +762,66 @@ class DistExecutor:
 # plan-time skew annotation (P13 detection: ANALYZE heavy hitters)
 # ---------------------------------------------------------------------------
 
+def resolve_base_column(node: PlanNode, colname: str):
+    """Trace a column on `node`'s output back through renames, projections,
+    filters and join pass-throughs to its base-table origin. Returns
+    (table_name, base_column) or None when the column is derived (an
+    expression) or the lineage leaves the plan's scan leaves."""
+    while True:
+        t = type(node).__name__
+        if t == "Filter":
+            node = node.child
+        elif t == "AddColumns":
+            e = node.outputs.get(colname)
+            if e is not None:
+                if type(e).__name__ == "ColRef":
+                    colname = e.name
+                else:
+                    return None
+            node = node.child
+        elif t == "Project":
+            e = node.outputs.get(colname)
+            if e is None:
+                return None
+            if isinstance(e, str):
+                colname = e
+            elif type(e).__name__ == "ColRef":
+                colname = e.name
+            else:
+                return None
+            node = node.child
+        elif t == "HashJoin":
+            # probe columns pass through; build_cols come from the build
+            node = node.build if colname in node.build_cols else node.probe
+        elif t == "BroadcastScalar":
+            node = node.source if colname in node.columns else node.child
+        elif t in ("Scan", "BlockScan"):
+            return (node.table, colname)
+        else:
+            return None
+
+
 def annotate_skew(plan: PlanNode, catalog, ndev: int) -> None:
     """Set HashJoin.skew_salt from catalog heavy-hitter stats: when the
-    probe side scans a base table whose join-key column concentrates more
-    than CONFIG.skew_hot_key_fraction of rows on one value, a plain hash
-    shuffle floods one device — salt it across ~frac*ndev devices instead.
+    probe side's join-key column traces back (through filters, projections,
+    and upstream joins) to a base-table column that concentrates more than
+    CONFIG.skew_hot_key_fraction of rows on one value, a plain hash shuffle
+    floods one device — salt it across ~frac*ndev devices instead.
     Detection (not a user hint) — the automatic counterpart of the
     reference's is_skew_join hint (be/src/exec/hash_joiner.h:75) /
     AdaptivePassthroughExchanger (local_exchange.h:334)."""
     from starrocks_tpu.config import CONFIG
 
-    def base_table(node):
-        while isinstance(node, (Filter, AddColumns)):
-            node = node.child
-        if isinstance(node, (Scan,)) or type(node).__name__ == "BlockScan":
-            return node.table
-        return None
-
     for node in plan.walk():
         if not isinstance(node, HashJoin) or len(node.left_keys) != 1:
             continue
-        tname = base_table(node.probe)
-        if tname is None or tname not in getattr(catalog, "tables", {}):
+        res = resolve_base_column(node.probe, node.left_keys[0])
+        if res is None:
             continue
-        st = catalog.tables[tname].stats.get(node.left_keys[0])
+        tname, cname = res
+        if tname not in getattr(catalog, "tables", {}):
+            continue
+        st = catalog.tables[tname].stats.get(cname)
         frac = getattr(st, "top_freq", 0.0) if st else 0.0
         if frac > CONFIG.skew_hot_key_fraction:
             node.skew_salt = max(2, min(ndev, int(frac * ndev) + 1))

@@ -383,3 +383,46 @@ def test_distributed_cross_join_compacted(mesh):
     got = D.dist_execute(plan, dtabs, mesh).to_pandas()
     assert got["c"][0] == 10 * 5
     assert got["sb"][0] == 10 * (0 + 1 + 2 + 3 + 4)
+
+
+def test_skew_detection_end_to_end(mesh):
+    """ANALYZE heavy-hitter stats must salt the shuffle join through the
+    full Session.sql path — including a DERIVED probe (filter + computed
+    column above the scan), which the provenance tracer resolves back to
+    the base column — and results must match the single-chip session."""
+    from starrocks_tpu.config import CONFIG, set_config
+    from starrocks_tpu.column import dtypes as dt
+    from starrocks_tpu.column.column import Column, Table
+    from starrocks_tpu.exec.plan import HashJoin
+    from starrocks_tpu.exec.session import Session
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    # 40% of probe rows share key 7 (> skew_hot_key_fraction=0.3)
+    keys = np.where(rng.random(n) < 0.4, 7, rng.integers(0, 64, n))
+    fact = Table(columns={
+        "k": Column.from_numpy(keys.astype(np.int64), dt.INT64),
+        "v": Column.from_numpy(np.arange(n, dtype=np.int64), dt.INT64)})
+    dim = Table(columns={
+        "dk": Column.from_numpy(np.arange(64, dtype=np.int64), dt.INT64),
+        "dv": Column.from_numpy(np.arange(64, dtype=np.int64) * 10,
+                                dt.INT64)})
+    tables = {"fact": fact, "dim": dim}
+    part = {"fact": ("v",), "dim": ("dk",)}   # NOT colocated on the join key
+    old = CONFIG.dist_broadcast_threshold_rows
+    set_config(dist_broadcast_threshold_rows=0)   # force the shuffle join
+    try:
+        local = Session(dict(tables))
+        distd = Session(dict(tables), mesh=mesh, partitioning=part)
+        q = ("select d.dv grp, sum(f.v + 1) s, count(*) c "
+             "from fact f join dim d on f.k = d.dk "
+             "where f.v >= 0 group by d.dv order by grp")
+        got = distd.sql(q)
+        want = local.sql(q)
+        joins = [nd for nd in distd.plan(q).walk() if isinstance(nd, HashJoin)]
+        assert any(j.skew_salt > 1 for j in joins), \
+            [f"{j.left_keys}:{j.skew_salt}" for j in joins]
+        assert got.shape == want.shape
+        assert (got.values == want.values).all()
+    finally:
+        set_config(dist_broadcast_threshold_rows=old)
