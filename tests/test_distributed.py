@@ -426,3 +426,47 @@ def test_skew_detection_end_to_end(mesh):
         assert (got.values == want.values).all()
     finally:
         set_config(dist_broadcast_threshold_rows=old)
+
+
+def test_distributed_ssb_full(mesh):
+    """All 13 SSB-Flat queries distributed vs the single-chip session."""
+    from starrocks_tpu.exec.session import Session
+    from starrocks_tpu.io import ssb
+    from starrocks_tpu.sql.ssb_sql import QUERIES
+
+    raw = ssb.generate_flat(sf=0.01)
+    t = ssb.to_table(raw)
+    local = Session({"lineorder_flat": t})
+    distd = Session({"lineorder_flat": t}, mesh=mesh,
+                    partitioning={"lineorder_flat": ("lo_orderkey",)})
+    for name in QUERIES:
+        got = distd.sql(QUERIES[name])
+        want = local.sql(QUERIES[name])
+        assert_rows_equal(got, want)
+
+
+TPCDS_DIST_SAMPLE = ["q3", "q7", "q19", "q42", "q52", "q55", "q68", "q96"]
+
+
+def test_distributed_tpcds_sample(mesh):
+    """A TPC-DS sample distributed vs the single-chip session (which the
+    single-chip suite already validates against SQLite goldens)."""
+    from starrocks_tpu.exec.session import Session
+    from starrocks_tpu.io import tpcds
+    from starrocks_tpu.sql.tpcds_sql import QUERIES
+
+    raw = tpcds.generate(sf=0.01)
+    tables = tpcds.to_tables(raw)
+    facts = {
+        "store_sales": ("ss_item_sk",), "store_returns": ("sr_item_sk",),
+        "catalog_sales": ("cs_item_sk",), "catalog_returns": ("cr_item_sk",),
+        "web_sales": ("ws_item_sk",), "web_returns": ("wr_item_sk",),
+        "inventory": ("inv_item_sk",),
+    }
+    part = {n: facts.get(n, "replicated") for n in tables}
+    local = Session(dict(tables))
+    distd = Session(dict(tables), mesh=mesh, partitioning=part)
+    for name in TPCDS_DIST_SAMPLE:
+        got = distd.sql(QUERIES[name])
+        want = local.sql(QUERIES[name])
+        assert_rows_equal(got, want)

@@ -1,0 +1,54 @@
+"""SF>=1 correctness: the suites validate exactness at SF0.01; this runs a
+TPC-H SF1 sample (6M-row lineitem) so the at-scale codepaths the toy suites
+never reach are exercised for real: the sort-merge join crossover
+(MERGE_THRESHOLD build sides), warm-path deferred capacity validation, and
+compaction heuristics at real shapes. (The r2 review asked for exactly one
+such run; the distributed SF1 variant is env-gated for real multi-chip
+hardware, where the virtual-device CPU mesh would be minutes per query.)
+"""
+import os
+
+import numpy as np
+import pytest
+
+from starrocks_tpu.exec import tpch_plans
+from starrocks_tpu.exec.plan import execute
+from starrocks_tpu.golden import tpch_queries as golden
+from starrocks_tpu.io import tpch
+
+from test_tpch_suite import assert_rows_equal
+
+SF1_QUERIES = ("q1", "q6", "q3")
+
+
+@pytest.fixture(scope="module")
+def sf1():
+    raw = tpch.generate(sf=1.0)
+    return tpch.to_tables(raw), tpch.to_pandas(raw)
+
+
+@pytest.mark.slow
+def test_sf1_single_chip_exact(sf1):
+    tables, frames = sf1
+    for name in SF1_QUERIES:
+        plan = tpch_plans.build(name, 1.0)
+        got = execute(plan, tables).to_pandas()
+        want = golden.run(name, frames)
+        assert_rows_equal(got, want)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("STARROCKS_TPU_BIG") != "1",
+                    reason="distributed SF1 needs real multi-chip hardware "
+                           "(set STARROCKS_TPU_BIG=1)")
+def test_sf1_distributed_exact(sf1):
+    import jax
+    from starrocks_tpu.parallel import dist as D
+    tables, frames = sf1
+    mesh = D.make_mesh(min(8, len(jax.devices())))
+    dtabs = D.place_tables(tables, mesh, D.TPCH_PARTITIONING)
+    for name in SF1_QUERIES:
+        plan = tpch_plans.build(name, 1.0)
+        got = D.dist_execute(plan, dtabs, mesh).to_pandas()
+        want = golden.run(name, frames)
+        assert_rows_equal(got, want)
