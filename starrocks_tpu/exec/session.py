@@ -90,6 +90,15 @@ class Session:
         self.register(name, t)
         return t
 
+    def load_csv(self, name: str, path: str, schema=None,
+                 delimiter: str = ",", header: bool = True) -> Table:
+        """CSV bulk load (stream/broker-load front-end analog); schema=None
+        infers column types from a sample."""
+        from starrocks_tpu.io.csv_io import read_csv
+        t = read_csv(path, schema, delimiter, header)
+        self.register(name, t)
+        return t
+
     def export_parquet(self, select_text: str, path: str) -> None:
         from starrocks_tpu.io.parquet_io import write_parquet
         write_parquet(self.execute(select_text), path)
