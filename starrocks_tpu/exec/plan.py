@@ -686,6 +686,104 @@ def _global_agg(t: Table, aggs: Sequence[AggSpec]) -> Table:
 
 
 @dataclasses.dataclass(eq=False)
+class GroupConcat(PlanNode):
+    """group_concat(col [, sep]) per group (be/src/exprs/agg/group_concat.h).
+
+    Host-finalized: variable-length string concatenation has no static-shape
+    device form, and the output vocabulary is data-dependent (every result
+    string must enter the dictionary — a host-metadata operation). The
+    groups/values are pulled once, concatenated in input row order, and the
+    (small) per-group result re-enters the engine dict-encoded. Eager
+    single-chip/stream execution only; distributed plans reject it.
+    """
+    child: PlanNode
+    keys: tuple[str, ...]
+    col: str
+    out: str
+    sep: str = ", "
+    distinct: bool = False
+
+    def _strings(self, c: Column, data, valid):
+        import numpy as np
+        if c.dtype.is_string:
+            return dt.dict_values(c.dict_id)[data].astype(object)
+        if c.dtype.is_decimal:
+            s = 10 ** c.dtype.scale
+            a = np.abs(data)
+            sign = np.where(data < 0, "-", "")
+            return np.char.add(
+                np.char.add(np.char.add(sign, (a // s).astype(str)), "."),
+                np.char.zfill((a % s).astype(str), c.dtype.scale)
+            ).astype(object)
+        if c.dtype.kind is dt.TypeKind.DATE:
+            import numpy as np
+            return np.datetime_as_string(
+                data.astype("int64").astype("datetime64[D]"),
+                unit="D").astype(object)
+        return data.astype(str).astype(object)
+
+    def run(self, ctx):
+        import numpy as np
+        t = self.child.run(ctx)
+        live = np.asarray(t.live_mask())
+        c = t[self.col]
+        vdata = np.asarray(c.data)
+        vok = live if c.valid is None else (live & np.asarray(c.valid))
+        strings = self._strings(c, vdata, vok)
+        if not self.keys:
+            vals = strings[vok]
+            if self.distinct:
+                _, first = np.unique(vals.astype(str), return_index=True)
+                vals = vals[np.sort(first)]
+            s = self.sep.join(vals.tolist())
+            out = Column.from_numpy(np.asarray([s], object), dt.STRING,
+                                    valid=np.asarray([len(vals) > 0]))
+            return Table(columns={self.out: out})
+        # group id per row: np.unique over (key data + validity) tuples
+        keycols = [t[k] for k in self.keys]
+        stack = []
+        for kc in keycols:
+            stack.append(np.asarray(kc.data))
+            if kc.valid is not None:
+                stack.append(np.asarray(kc.valid).astype(np.int8))
+        rows = np.rec.fromarrays(stack)
+        uniq, inv = np.unique(rows[live], return_inverse=True)
+        g = len(uniq)
+        live_idx = np.nonzero(live)[0]
+        cols = {}
+        # representative row per group for the key outputs
+        rep = np.zeros(g, np.int64)
+        rep[inv] = live_idx        # any member row works; last write wins
+        for k, kc in zip(self.keys, keycols):
+            cols[k] = Column.from_numpy(
+                np.asarray(kc.data)[rep], kc.dtype,
+                valid=None if kc.valid is None
+                else np.asarray(kc.valid)[rep],
+                dict_id=kc.dict_id)
+        parts: list[list] = [[] for _ in range(g)]
+        order = np.argsort(inv, kind="stable")
+        for pos in order:
+            ridx = live_idx[pos]
+            if vok[ridx]:
+                parts[inv[pos]].append(strings[ridx])
+        outs = np.empty(g, object)
+        okv = np.empty(g, bool)
+        for i in range(g):
+            vals = parts[i]
+            if self.distinct:
+                seen, ded = set(), []
+                for v in vals:
+                    if v not in seen:
+                        seen.add(v)
+                        ded.append(v)
+                vals = ded
+            okv[i] = len(vals) > 0
+            outs[i] = self.sep.join(vals)
+        cols[self.out] = Column.from_numpy(outs, dt.STRING, valid=okv)
+        return Table(columns=cols)
+
+
+@dataclasses.dataclass(eq=False)
 class SetOp(PlanNode):
     """UNION [ALL] / INTERSECT / EXCEPT of two inputs with positionally
     aligned columns (analog of be/src/exec/union_node.cpp,

@@ -33,8 +33,8 @@ import numpy as np
 from starrocks_tpu.column import dtypes as dt
 from starrocks_tpu.exprs import expr as E
 from starrocks_tpu.exec.plan import (
-    AddColumns, Aggregate, BroadcastScalar, CrossJoin, Filter, HashJoin,
-    Limit, PlanNode, Project, Scan, Sort, Window,
+    AddColumns, Aggregate, BroadcastScalar, CrossJoin, Filter, GroupConcat,
+    HashJoin, Limit, PlanNode, Project, Scan, Sort, Window,
 )
 from starrocks_tpu.ops.hash_agg import AggSpec
 from starrocks_tpu.ops.sort import SortKey
@@ -271,7 +271,8 @@ AGG_NAME_MAP = {
 DISTINCT_SKETCH_FNS = ("approx_count_distinct", "ndv", "bitmap_union_count",
                        "hll_union_agg", "multi_distinct_count")
 APPROX_DISTINCT_FNS = ("approx_count_distinct", "ndv", "hll_union_agg")
-AGG_FN_NAMES = ("avg",) + DISTINCT_SKETCH_FNS + tuple(AGG_NAME_MAP)
+AGG_FN_NAMES = ("avg", "group_concat") + DISTINCT_SKETCH_FNS \
+    + tuple(AGG_NAME_MAP)
 
 WINDOW_FN_NAMES = ("row_number", "rank", "dense_rank", "percent_rank",
                    "cume_dist", "ntile", "lag", "lead", "first_value",
@@ -1476,6 +1477,7 @@ class Planner:
 
         specs: list[AggSpec] = []
         distinct_aggs = []
+        gc_aggs = []          # group_concat: (node, arg, out, sep, distinct)
         planned_nodes: list = []
         for node in agg_nodes:
             if id(node) in self._agg_map:
@@ -1487,6 +1489,21 @@ class Planner:
                 self._agg_map[id(node)] = self._agg_map[id(dup)]
                 continue
             planned_nodes.append(node)
+            if node.name == "group_concat":
+                # string concatenation per group (group_concat.h analog) —
+                # host-finalized in its own subplan, rejoined on the keys
+                arg = _gen("gc")
+                pre_cols[arg] = b.bind(node.args[0])
+                sep = ", "
+                if len(node.args) > 1:
+                    sp = fold_const(node.args[1])
+                    assert isinstance(sp, ast.Lit) and sp.kind == "string", \
+                        "group_concat separator must be a string literal"
+                    sep = sp.value
+                out = _gen("gco")
+                gc_aggs.append((node, arg, out, sep, bool(node.distinct)))
+                self._agg_map[id(node)] = ("col", out)
+                continue
             if node.distinct or node.name in DISTINCT_SKETCH_FNS:
                 # the whole distinct-cardinality family (count(distinct),
                 # ndv, approx_count_distinct, bitmap_union_count(to_bitmap),
@@ -1540,10 +1557,11 @@ class Planner:
 
         if stmt.grouping_sets is not None:
             return self._plan_grouping_sets(stmt, stream, plan, key_names,
-                                            specs, distinct_aggs, est)
+                                            specs, distinct_aggs, est,
+                                            gc_aggs)
 
         agg_plan = self._plan_agg_with_distincts(plan, key_names, specs,
-                                                 distinct_aggs, est)
+                                                 distinct_aggs, est, gc_aggs)
 
         # name map: group keys keep their sql names; agg outputs synthetic
         gk_map = {}
@@ -1552,6 +1570,7 @@ class Planner:
         synth = {pn: pn for pn in key_names}
         synth.update({s.out: s.out for s in specs})
         synth.update({d[2]: d[2] for d in distinct_aggs})
+        synth.update({g[2]: g[2] for g in gc_aggs})
         gk_map["_agg"] = synth
         out_rel = Relation(agg_plan, gk_map, [tuple(key_names)], max(1, est))
 
@@ -1566,13 +1585,13 @@ class Planner:
         return out_rel
 
     def _plan_agg_with_distincts(self, plan, key_names, specs, distinct_aggs,
-                                 est):
+                                 est, gc_aggs=()):
         """Aggregate with any number of DISTINCT aggregates: each distinct
         runs as its own two-level aggregate (dedupe on keys+arg, then count
         per key) and rejoins the base aggregate on the group keys with
         null-safe equality (the reference's multi-stage distinct split,
         SplitAggregateRule / multi-distinct aggs in be/src/exprs/agg/)."""
-        if not distinct_aggs:
+        if not distinct_aggs and not gc_aggs:
             return Aggregate(plan, tuple(key_names), tuple(specs),
                              est_groups=est)
 
@@ -1589,8 +1608,11 @@ class Planner:
 
         dplans = [(arg, out, dcount(arg, out, approx))
                   for _, arg, out, approx in distinct_aggs]
+        dplans += [(arg, out, GroupConcat(plan, tuple(key_names), arg, out,
+                                          sep, distinct))
+                   for _, arg, out, sep, distinct in gc_aggs]
         if not key_names:
-            # global: chain 1-row distinct counts onto the 1-row base agg
+            # global: chain 1-row side aggregates onto the 1-row base agg
             if specs:
                 agg_plan, rest = Aggregate(plan, (), tuple(specs)), dplans
             else:
@@ -1611,7 +1633,8 @@ class Planner:
         return agg_plan
 
     def _plan_grouping_sets(self, stmt, stream: Relation, plan, key_names,
-                            specs, distinct_aggs, est) -> Relation:
+                            specs, distinct_aggs, est,
+                            gc_aggs=()) -> Relation:
         """ROLLUP / CUBE / GROUPING SETS: one Aggregate per set over the same
         child, grouped-out keys masked to NULL (the RepeatNode analog,
         be/src/exec/repeat_node.cpp — the reference replicates input rows
@@ -1663,7 +1686,7 @@ class Planner:
                 branch = AddColumns(branch,
                                     {k: E.NullLike(k) for k in masked})
             agg = self._plan_agg_with_distincts(branch, key_names, specs,
-                                                distinct_aggs, est)
+                                                distinct_aggs, est, gc_aggs)
             gcols = {name: E.Literal(0 if kidx in keep else 1, dt.INT64)
                      for _, kidx, name in grouping_calls}
             if gcols:
@@ -1681,6 +1704,7 @@ class Planner:
         synth.update({s.out: s.out for s in specs})
         synth.update({name: name for _, _, name in grouping_calls})
         synth.update({d[2]: d[2] for d in distinct_aggs})
+        synth.update({g[2]: g[2] for g in gc_aggs})
         gk_map["_agg"] = synth
         nsets = len(stmt.grouping_sets)
         out_rel = Relation(agg_plan, gk_map, [], max(1, est * nsets))

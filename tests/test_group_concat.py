@@ -1,0 +1,81 @@
+"""group_concat + DISTINCT aggregates composed with GROUPING SETS
+(be/src/exprs/agg/group_concat.h; SplitAggregateRule multi-distinct)."""
+import numpy as np
+import pytest
+
+from starrocks_tpu.column import dtypes as dt
+from starrocks_tpu.column.column import Column, Table
+from starrocks_tpu.exec.session import Session
+
+
+@pytest.fixture
+def sess():
+    t = Table(columns={
+        "g": Column.from_numpy(np.array([1, 1, 2, 2, 2, 3], np.int64),
+                               dt.INT64),
+        "h": Column.from_numpy(np.array([0, 1, 0, 1, 0, 0], np.int64),
+                               dt.INT64),
+        "s": Column.from_numpy(
+            np.array(["a", "b", "c", "a", "c", "z"], object), dt.STRING,
+            valid=np.array([1, 1, 1, 1, 1, 0], bool)),
+        "v": Column.from_numpy(np.array([10, 20, 30, 40, 50, 60], np.int64),
+                               dt.INT64),
+    })
+    return Session({"t": t})
+
+
+def test_group_concat_basic(sess):
+    df = sess.sql("select g, group_concat(s) cs, sum(v) sv "
+                  "from t group by g order by g")
+    assert list(df.cs[:2]) == ["a, b", "c, a, c"]
+    assert df.cs.isna().iloc[2]          # all-NULL group -> NULL
+    assert list(df.sv) == [30, 120, 60]
+
+
+def test_group_concat_distinct_sep(sess):
+    df = sess.sql("select g, group_concat(distinct s, '|') cs "
+                  "from t group by g order by g")
+    assert list(df.cs[:2]) == ["a|b", "c|a"]
+
+
+def test_group_concat_global_and_ints(sess):
+    df = sess.sql("select group_concat(s, '-') cs, group_concat(v) cv from t")
+    assert df.cs[0] == "a-b-c-a-c"
+    assert df.cv[0] == "10, 20, 30, 40, 50, 60"
+
+
+def test_group_concat_only_agg(sess):
+    # no other aggregate: the group_concat subplan IS the aggregate
+    df = sess.sql("select g, group_concat(s) cs from t group by g order by g")
+    assert list(df.cs[:2]) == ["a, b", "c, a, c"]
+
+
+def test_distinct_agg_with_grouping_sets(sess):
+    # r2 review gap: DISTINCT aggregates under GROUPING SETS were rejected
+    df = sess.sql(
+        "select g, h, count(distinct s) cd, sum(v) sv from t "
+        "group by rollup(g, h) order by g, h")
+    import pandas as pd
+    want_rows = {
+        (1, 0): (1, 10), (1, 1): (1, 20), (2, 0): (1, 80), (2, 1): (1, 40),
+        (3, 0): (0, 60),
+    }
+    fine = df.dropna(subset=["g", "h"])
+    for _, r in fine.iterrows():
+        cd, sv = want_rows[(int(r.g), int(r.h))]
+        assert r.cd == cd and r.sv == sv, r
+    # the grand-total row: 3 distinct strings, sum 210
+    total = df[df.g.isna() & df.h.isna()]
+    assert len(total) == 1
+    assert total.cd.iloc[0] == 3 and total.sv.iloc[0] == 210
+
+
+def test_group_concat_with_grouping_sets(sess):
+    df = sess.sql(
+        "select g, group_concat(distinct s, ',') cs from t "
+        "group by rollup(g) order by g")
+    fine = df.dropna(subset=["g"]).set_index("g")
+    assert fine.cs.loc[1] == "a,b"
+    assert fine.cs.loc[2] == "c,a"
+    total = df[df.g.isna()]
+    assert total.cs.iloc[0] == "a,b,c"
