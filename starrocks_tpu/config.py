@@ -63,6 +63,11 @@ class EngineConfig:
     # --- out-of-core streaming (exec/stream.py) ---
     # rows per host->HBM block when a HostTable streams through operators
     stream_block_rows: int = 1 << 21
+    # a streamed-build join whose build side exceeds this many rows runs as
+    # a radix-PARTITIONED join (P10): both sides hash-partition on the join
+    # keys host-side, partitions process one at a time (spiller.h:144
+    # partitioned-spill analog — host RAM is the disk tier)
+    ooc_partition_build_rows: int = 1 << 22
 
 
 CONFIG = EngineConfig()

@@ -301,8 +301,20 @@ class StreamExecutor:
         return self._map(node.child, node, kernel, "a")
 
     def _run_HashJoin(self, node: HashJoin):
+        from starrocks_tpu.config import CONFIG
+        bsrc = self.eval(node.build)
+        psrc = self.eval(node.probe)
+        if (isinstance(bsrc, _Stream)
+                and node.join_type != "null_aware_anti"
+                and bsrc.nblocks * self.block_rows
+                    > CONFIG.ooc_partition_build_rows):
+            # P10: the build side itself exceeds the resident budget —
+            # radix-partition BOTH sides host-side and join partition at a
+            # time (null_aware_anti is excluded: its build-has-NULL /
+            # build-empty decisions are global, not per-partition)
+            return self._partitioned_join(node, psrc, bsrc)
         b = self.table(node.build)
-        src = self.eval(node.probe)
+        src = psrc
         if isinstance(src, _Stream):
             if node.join_type in _RIGHT_FAMILY:
                 # output rows carry global build-match state: needs the
@@ -313,6 +325,98 @@ class StreamExecutor:
             return _Stream(src.nblocks,
                            lambda i: node.run_local(self.ctx, src.fn(i), b))
         return node.run_local(self.ctx, src, b)
+
+    # -- radix-partitioned out-of-core join (P10) --------------------------
+    def _to_host(self, src) -> HostTable:
+        """Force a stream (or resident table) down to host RAM — the spill
+        tier (spiller.h:144); each block compacts on device first so only
+        live rows cross PCIe."""
+        if isinstance(src, _Stream):
+            parts = [HostTable.from_table(b) for b in src.blocks()]
+            cols = {}
+            for name, c0 in parts[0].columns.items():
+                datas = [p.columns[name].data for p in parts]
+                valids = [p.columns[name].valid for p in parts]
+                data = np.concatenate(datas)
+                valid = None if all(v is None for v in valids) else \
+                    np.concatenate([np.ones(len(d), bool) if v is None else v
+                                    for d, v in zip(datas, valids)])
+                cols[name] = HostCol(data, valid, c0.dtype, c0.dict_id,
+                                     c0.vrange)
+            return HostTable(cols)
+        return HostTable.from_table(src)
+
+    def _partitioned_join(self, node: HashJoin, psrc, bsrc):
+        """Grace-style partitioned hash join across the host/HBM boundary:
+        hash-partition both sides on the join keys in host RAM, then run the
+        ordinary join kernels partition at a time. All partitions pad to one
+        shared pow2 shape, so ONE compiled module serves every partition.
+        Correct per-partition for every join type whose matches are confined
+        to equal-key rows (all equi-joins): unmatched-probe emission
+        (left/full outer) and build-match flags (right family) are complete
+        within a partition. The reference's partitioned spill analog
+        (be/src/exec/spill/partition.h, aggregate/distinct spill)."""
+        from starrocks_tpu.ops import hashing
+        bh = self._to_host(bsrc)
+        ph = self._to_host(psrc)
+        # equal string keys must hash equally: unify dictionaries first
+        for pk, bk in zip(node.left_keys, node.right_keys):
+            pc, bc = ph.columns[pk], bh.columns[bk]
+            if (pc.dtype.is_string and bc.dtype.is_string
+                    and pc.dict_id != bc.dict_id):
+                va, vb = dt.dict_values(pc.dict_id), dt.dict_values(bc.dict_id)
+                union = np.unique(np.concatenate([va, vb]))
+                did = dt.register_dict(union)
+                vr = (0, max(len(union) - 1, 0))
+                la = np.searchsorted(union, va).astype(pc.data.dtype)
+                lb = np.searchsorted(union, vb).astype(bc.data.dtype)
+                ph.columns[pk] = HostCol(la[pc.data], pc.valid, pc.dtype,
+                                         did, vr)
+                bh.columns[bk] = HostCol(lb[bc.data], bc.valid, bc.dtype,
+                                         did, vr)
+
+        def dests(ht: HostTable, keys, nparts):
+            datas = [ht.columns[k].data for k in keys]
+            valids = [ht.columns[k].valid for k in keys]
+            h = hashing.hash_columns_np(datas, valids, seed=0x9A27)
+            return (h % np.uint64(nparts)).astype(np.int64)
+
+        from starrocks_tpu.config import CONFIG
+        target = max(1 << 16, CONFIG.ooc_partition_build_rows // 2)
+        nparts = 1 << max(0, (bh.nrows // target).bit_length())
+        bdest = dests(bh, node.right_keys, nparts)
+        pdest = dests(ph, node.left_keys, nparts)
+        bidx = [np.nonzero(bdest == p)[0] for p in range(nparts)]
+        pidx = [np.nonzero(pdest == p)[0] for p in range(nparts)]
+        # one static shape across partitions -> one compiled join module
+        bcap = 1 << max(max(len(ix) for ix in bidx) - 1, 0).bit_length()
+        pcap = 1 << max(max(len(ix) for ix in pidx) - 1, 0).bit_length()
+
+        def slice_pad(ht: HostTable, idx, cap) -> Table:
+            k = len(idx)
+            cols = {}
+            for name, c in ht.columns.items():
+                data = c.data[idx]
+                valid = None if c.valid is None else c.valid[idx]
+                if k < cap:
+                    data = np.concatenate(
+                        [data, np.zeros((cap - k,), data.dtype)])
+                    if valid is not None:
+                        valid = np.concatenate(
+                            [valid, np.zeros((cap - k,), bool)])
+                cols[name] = Column(jnp.asarray(data),
+                                    None if valid is None
+                                    else jnp.asarray(valid),
+                                    c.dtype, c.dict_id, c.vrange)
+            live = jnp.asarray(np.arange(cap) < k)
+            return Table(columns=cols, live=live)
+
+        def part(i):
+            p = slice_pad(ph, pidx[i], pcap)
+            b = slice_pad(bh, bidx[i], bcap)
+            return node.run_local(self.ctx, p, b)
+
+        return _Stream(nparts, part)
 
     def _run_CrossJoin(self, node: CrossJoin):
         bt = self.table(node.right)

@@ -51,3 +51,27 @@ def key_equal_at(cols: Sequence[Column], idx: jnp.ndarray) -> jnp.ndarray:
             e = (av == bv) & (e | ~av)  # NULL == NULL for grouping
         eq = e if eq is None else (eq & e)
     return eq
+
+
+def hash_columns_np(datas, valids, seed: int = 0) -> "np.ndarray":
+    """numpy twin of hash_columns for HOST-side partitioning (out-of-core
+    radix partitioning in exec/stream.py). Bit-identical to the device
+    version so host-chosen partitions agree with device-side hashes when
+    both sides of a join are partitioned by the same implementation."""
+    import numpy as np
+    n = len(datas[0])
+    with np.errstate(over="ignore"):
+        h = np.full(n, np.uint64(seed) ^ np.uint64(0x9E3779B97F4A7C15),
+                    np.uint64)
+        gold = np.uint64(0x9E3779B97F4A7C15)
+        m1 = np.uint64(0xBF58476D1CE4E5B9)
+        m2 = np.uint64(0x94D049BB133111EB)
+        for d, v in zip(datas, valids):
+            x = d.astype(np.int64).astype(np.uint64)
+            if v is not None:
+                x = np.where(v, x, np.uint64(0x517CC1B727220A95))
+            h = h ^ (x + gold + (h << np.uint64(6)) + (h >> np.uint64(2)))
+            h = (h ^ (h >> np.uint64(30))) * m1
+            h = (h ^ (h >> np.uint64(27))) * m2
+            h = h ^ (h >> np.uint64(31))
+    return h

@@ -95,7 +95,9 @@ def test_stream_window_materializes(ooc):
         " rank() over (partition by o_custkey order by o_totalprice desc) rk"
         " from orders where o_totalprice > 400000 order by o_custkey,"
         " rk limit 50")
-    od = frames["orders"][frames["orders"].o_totalprice > 400000].copy()
+    # frames keep decimals as int64 cents: the SQL literal 400000 (dollars)
+    # is 400000*100 there
+    od = frames["orders"][frames["orders"].o_totalprice > 400000 * 100].copy()
     od["rk"] = od.groupby("o_custkey").o_totalprice.rank(
         method="min", ascending=False).astype(int)
     want = od.sort_values(["o_custkey", "rk"]).head(50)
@@ -111,11 +113,15 @@ def test_stream_var_stddev_moments(ooc):
                    " group by l_returnflag order by l_returnflag")
     li = frames["lineitem"]
     g = li.groupby("l_returnflag")
+    # frames keep decimals as int64 cents; the engine descales to natural
+    # units, so stddev divides by 100 and variance by 100^2
     np.testing.assert_allclose(
-        got.s.to_numpy(), g.l_extendedprice.std(ddof=1).to_numpy(), rtol=1e-9)
+        got.s.to_numpy(),
+        g.l_extendedprice.std(ddof=1).to_numpy() / 100.0, rtol=1e-9)
     np.testing.assert_allclose(
         got.v.to_numpy(),
-        g.l_quantity.apply(lambda x: x.var(ddof=0)).to_numpy(), rtol=1e-9)
+        g.l_quantity.apply(lambda x: x.var(ddof=0)).to_numpy() / 10000.0,
+        rtol=1e-9)
 
 
 def test_stream_matches_resident(tpch_raw, tpch_frames):
@@ -137,3 +143,62 @@ def test_stream_matches_resident(tpch_raw, tpch_frames):
         assert_rows_equal(a, b)
     finally:
         set_config(stream_block_rows=1 << 21)
+
+
+@pytest.fixture
+def partitioned_join_cfg():
+    old = (CONFIG.stream_block_rows, CONFIG.ooc_partition_build_rows)
+    # tiny thresholds: any streamed build triggers the partitioned path
+    set_config(stream_block_rows=1 << 10, ooc_partition_build_rows=1 << 11)
+    yield
+    set_config(stream_block_rows=old[0], ooc_partition_build_rows=old[1])
+
+
+def test_partitioned_join_q3_q12(partitioned_join_cfg, tpch_raw, tpch_frames):
+    """P10: lineitem AND orders both host-resident with the partition
+    threshold below the orders build size — the lineitem-orders join runs
+    radix-partitioned, partition at a time, still exact."""
+    tables = tpch.to_tables(tpch_raw)
+    for big in ("lineitem", "orders"):
+        tables[big] = HostTable.from_numpy(tpch_raw[big], tpch.SCHEMAS[big])
+    sess = Session(tables)
+    for q in ("q3", "q12"):
+        got = sess.sql(QUERIES[q])
+        want = golden.run(q, tpch_frames)
+        assert_rows_equal(got, want)
+
+
+def test_partitioned_join_all_types(partitioned_join_cfg):
+    """Partitioned joins are per-partition complete for every equi-join
+    type, including outer/right-family emission."""
+    import pandas as pd
+    from starrocks_tpu.column import dtypes as dt
+    from starrocks_tpu.column.column import Column
+    rng = np.random.default_rng(23)
+    n, m = 6000, 5000
+    pk = rng.integers(0, 4000, n).astype(np.int64)
+    bk = rng.permutation(8000)[:m].astype(np.int64)   # unique build keys
+    tables = {
+        "p": HostTable.from_numpy({"k": pk, "v": np.arange(n)},
+                                  {"k": dt.INT64, "v": dt.INT64}),
+        "b": HostTable.from_numpy({"bk": bk, "bv": bk * 7},
+                                  {"bk": dt.INT64, "bv": dt.INT64}),
+    }
+    sess = Session(tables)
+    pf = pd.DataFrame({"k": pk, "v": np.arange(n)})
+    bf = pd.DataFrame({"bk": bk, "bv": bk * 7})
+
+    got = sess.sql("select count(*) c, sum(bv) s from p join b on k = bk")
+    want = pf.merge(bf, left_on="k", right_on="bk")
+    assert got.c[0] == len(want) and got.s[0] == want.bv.sum()
+
+    got = sess.sql("select count(*) c from p left join b on k = bk")
+    assert got.c[0] == n
+
+    got = sess.sql("select count(*) c from p where k not in (select bk from b)")
+    assert got.c[0] == (~pf.k.isin(bf.bk)).sum()
+
+    got = sess.sql("select count(*) c, count(v) cv from p "
+                   "right join b on k = bk")
+    wr = pf.merge(bf, left_on="k", right_on="bk", how="right")
+    assert got.c[0] == len(wr) and got.cv[0] == wr.v.notna().sum()
