@@ -129,11 +129,104 @@ class Session:
             merged = self.execute(f"select {cols} from {name} union all {sel}")
             self.register(name, merged)
             return pd.DataFrame()
+        m = re.match(r"(?is)^insert\s+into\s+(\w+)\s*"
+                     r"(?:\(([\w\s,]*)\))?\s*values\s+(.*)$", s)
+        if m:
+            self._insert_values(m.group(1), m.group(2), m.group(3))
+            return pd.DataFrame()
         m = re.match(r"(?is)^drop\s+(?:table|view)\s+(?:if\s+exists\s+)?(\w+)$", s)
         if m:
             self.drop(m.group(1))
             return pd.DataFrame()
         return None
+
+    def _insert_values(self, name: str, colspec, values_text: str) -> None:
+        """INSERT INTO t [(cols)] VALUES (...), (...) — the small-row append
+        path (the reference's INSERT INTO VALUES through the txn/load stack,
+        fe/.../qe/StmtExecutor; here an immutable-table rebuild, acceptable
+        for small appends; bulk data uses the load paths)."""
+        import numpy as np
+        from starrocks_tpu.column import dtypes as dt
+        from starrocks_tpu.column.column import Column, Table
+        from starrocks_tpu.sql import ast as A
+        from starrocks_tpu.sql.parser import Parser
+        from starrocks_tpu.sql.planner import fold_const
+
+        old = self.tables[name]
+        all_names = old.column_names()
+        names = ([c.strip() for c in colspec.split(",")] if colspec
+                 else list(all_names))
+        p = Parser(values_text)
+        rows = []
+        while True:
+            p.expect("SYMBOL", "(")
+            row = [p.parse_expr()]
+            while p.accept("SYMBOL", ","):
+                row.append(p.parse_expr())
+            p.expect("SYMBOL", ")")
+            if len(row) != len(names):
+                raise ValueError(
+                    f"INSERT row has {len(row)} values, expected {len(names)}")
+            rows.append(row)
+            if not p.accept("SYMBOL", ","):
+                break
+
+        def conv(lit, d):
+            """literal -> (storage value, is_valid) for column dtype d."""
+            if not isinstance(lit, A.Lit):
+                raise ValueError("INSERT VALUES must be constant expressions")
+            if lit.kind == "null":
+                return 0 if not d.is_string else "", False
+            if d.is_string:
+                return str(lit.value), True
+            if d.is_decimal:
+                if lit.kind == "int":
+                    return lit.value * 10 ** d.scale, True
+                if lit.kind == "decimal":
+                    if d.scale >= lit.scale:
+                        return lit.value * 10 ** (d.scale - lit.scale), True
+                    return int(round(lit.value / 10 ** (lit.scale - d.scale))), True
+            if d.kind is dt.TypeKind.DATE:
+                if lit.kind == "date":
+                    return lit.value, True
+                if lit.kind == "string":
+                    return int((np.datetime64(lit.value)
+                                - np.datetime64("1970-01-01")).astype(int)), True
+            if d.kind is dt.TypeKind.FLOAT64:
+                return float(lit.value) / (10 ** lit.scale
+                                           if lit.kind == "decimal" else 1), True
+            if lit.kind in ("int", "bool"):
+                return int(lit.value), True
+            raise ValueError(f"cannot insert {lit.kind} literal into {d}")
+
+        live = None if old.live is None else np.asarray(old.live)
+        cols = {}
+        for cname in all_names:
+            c = old[cname]
+            data = np.asarray(c.data)
+            valid = None if c.valid is None else np.asarray(c.valid)
+            if live is not None:
+                data = data[live]
+                valid = None if valid is None else valid[live]
+            if cname in names:
+                j = names.index(cname)
+                conved = [conv(fold_const(r[j]), c.dtype) for r in rows]
+            else:
+                conved = [(0 if not c.dtype.is_string else "", False)
+                          for _ in rows]
+            new_vals = [v for v, _ in conved]
+            new_ok = np.asarray([ok for _, ok in conved], bool)
+            if c.dtype.is_string:
+                olds = dt.dict_values(c.dict_id)[data].astype(object)
+                arr = np.concatenate([olds, np.asarray(new_vals, object)])
+            else:
+                arr = np.concatenate([data,
+                                      np.asarray(new_vals).astype(data.dtype)])
+            ok = np.concatenate([np.ones(len(data), bool)
+                                 if valid is None else valid, new_ok])
+            cols[cname] = Column.from_numpy(arr, c.dtype,
+                                            valid=None if ok.all() else ok)
+        self.register(name, Table(columns=cols))
 
     def sql(self, text: str):
         """Run a query, return a pandas DataFrame of the result rows."""

@@ -119,3 +119,21 @@ def explain_analyze(plan: PlanNode, tables, capacities: Optional[dict] = None):
 
     result = run(plan)
     return result, profiles[id(plan)]
+
+
+def capture_trace(fn, trace_dir: str):
+    """Run `fn()` under the XLA/TPU profiler (xprof) and dump the trace to
+    `trace_dir` (viewable in xprof/TensorBoard: per-HLO device timelines,
+    fusion boundaries, HBM traffic). The device-truth complement of
+    explain_analyze's eager per-operator wall timing — the RuntimeProfile
+    text tree vs the reference's pipeline-driver trace events
+    (be/src/util/runtime_profile.h:132 vs query trace spans).
+    """
+    import jax
+
+    with jax.profiler.trace(trace_dir):
+        out = fn()
+        jax.block_until_ready(
+            [x for x in jax.tree_util.tree_leaves(out)
+             if hasattr(x, "block_until_ready")] or [jax.numpy.zeros(())])
+    return out

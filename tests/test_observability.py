@@ -87,3 +87,51 @@ def test_result_cache_and_memory_accounting(tpch_tables):
         assert REGISTRY.snapshot().get("result_cache_hits_total", 0) == hits
     finally:
         CONFIG.enable_result_cache = True
+
+
+def test_capture_trace_writes_xprof(tmp_path):
+    """capture_trace produces an xprof trace directory for a real query."""
+    import os
+    import numpy as np
+    from starrocks_tpu.column import dtypes as dt
+    from starrocks_tpu.column.column import Column, Table
+    from starrocks_tpu.exec.session import Session
+    from starrocks_tpu.utils.profile import capture_trace
+
+    t = Table(columns={"v": Column.from_numpy(np.arange(10000), dt.INT64)})
+    s = Session({"t": t})
+    d = str(tmp_path / "trace")
+    df = capture_trace(lambda: s.sql("select sum(v) s from t where v < 5000"),
+                       d)
+    assert df.s[0] == sum(range(5000))
+    found = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
+    assert found, "no trace files written"
+
+
+def test_insert_values_roundtrip():
+    import numpy as np
+    from starrocks_tpu.column import dtypes as dt
+    from starrocks_tpu.column.column import Column, Table
+    from starrocks_tpu.exec.session import Session
+
+    t = Table(columns={
+        "id": Column.from_numpy(np.array([1, 2], np.int64), dt.INT64),
+        "name": Column.from_numpy(np.array(["a", "b"], object), dt.STRING),
+        "price": Column.from_numpy(np.array([150, 250], np.int64),
+                                   dt.DECIMAL(2)),
+        "d": Column.from_numpy(np.array([0, 1], np.int32), dt.DATE),
+    })
+    s = Session({"t": t})
+    s.sql("insert into t values (3, 'c', 3.75, '2024-06-01'), "
+          "(4, 'zed', 10, '1999-12-31')")
+    df = s.sql("select * from t order by id")
+    assert list(df.id) == [1, 2, 3, 4]
+    assert list(df.name) == ["a", "b", "c", "zed"]
+    assert list(df.price) == [1.50, 2.50, 3.75, 10.00]
+    assert str(df.d.iloc[2])[:10] == "2024-06-01"
+    # partial column list -> unnamed columns become NULL
+    s.sql("insert into t (id, name) values (5, null)")
+    df = s.sql("select * from t where id = 5")
+    assert df.name.isna().iloc[0] and df.price.isna().iloc[0]
+    # aggregates see appended rows
+    assert s.sql("select count(*) c from t").c[0] == 5
