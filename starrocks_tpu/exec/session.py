@@ -99,6 +99,14 @@ class Session:
         self.register(name, t)
         return t
 
+    def load_json(self, name: str, path: str, schema=None) -> Table:
+        """ndjson bulk load (json_scanner.cpp analog); schema inferred when
+        omitted."""
+        from starrocks_tpu.io.json_io import read_json
+        t = read_json(path, schema)
+        self.register(name, t)
+        return t
+
     def export_parquet(self, select_text: str, path: str) -> None:
         from starrocks_tpu.io.parquet_io import write_parquet
         write_parquet(self.execute(select_text), path)

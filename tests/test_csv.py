@@ -86,3 +86,22 @@ def test_csv_through_session(csv_file):
     assert df.q[0] == 13
     df2 = s.sql("select name from t order by id limit 2")
     assert list(df2.name) == ["multi\nline", "widget"]
+
+
+def test_json_lines_ingest(tmp_path):
+    from starrocks_tpu.exec.session import Session
+    p = tmp_path / "t.ndjson"
+    p.write_text(
+        '{"id": 1, "name": "a", "score": 1.5, "tags": ["x", "y"]}\n'
+        '{"id": 2, "name": "b", "score": 2.5}\n'
+        '{"id": 3, "score": 3.25, "tags": {"k": 1}}\n')
+    s = Session({})
+    s.load_json("j", str(p))
+    df = s.sql("select * from j order by id")
+    assert list(df.id) == [1, 2, 3]
+    assert df.name.isna().iloc[2]
+    assert list(df.score) == [1.5, 2.5, 3.25]
+    assert df.tags.iloc[0] == '["x", "y"]'      # nested -> JSON text
+    assert df.tags.isna().iloc[1]
+    agg = s.sql("select count(name) c, sum(score) s from j")
+    assert agg.c[0] == 2 and abs(agg.s[0] - 7.25) < 1e-9
