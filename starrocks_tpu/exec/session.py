@@ -111,6 +111,50 @@ class Session:
         from starrocks_tpu.io.parquet_io import write_parquet
         write_parquet(self.execute(select_text), path)
 
+    def save_catalog(self, dirpath: str) -> None:
+        """Persist the catalog: one parquet file per table + manifest.json
+        (schemas, row counts, views) — the checkpoint/resume analog of the
+        reference's FE image + per-load manifest (SURVEY §5; the catalog IS
+        the manifest under immutable bulk loads)."""
+        import json
+        import os
+        from starrocks_tpu.io.parquet_io import write_parquet
+
+        os.makedirs(dirpath, exist_ok=True)
+        manifest = {"version": 1, "tables": {}, "views": dict(self.views)}
+        for name, t in self.tables.items():
+            if not isinstance(t, Table):
+                raise ValueError(
+                    f"save_catalog: {name!r} is not device-resident "
+                    "(host-streamed tables already live on durable storage)")
+            f = f"{name}.parquet"
+            write_parquet(t, os.path.join(dirpath, f))
+            manifest["tables"][name] = {
+                "file": f,
+                "rows": int(t.nrows) if hasattr(t, "nrows") else None,
+                "schema": {c: str(col.dtype)
+                           for c, col in t.columns.items()},
+            }
+        with open(os.path.join(dirpath, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=1)
+
+    @classmethod
+    def load_catalog(cls, dirpath: str, mesh=None, partitioning=None
+                     ) -> "Session":
+        """Resume a session from save_catalog output (re-runs ANALYZE at
+        registration, re-places on the mesh when given)."""
+        import json
+        import os
+        from starrocks_tpu.io.parquet_io import read_parquet
+
+        with open(os.path.join(dirpath, "manifest.json")) as fh:
+            manifest = json.load(fh)
+        tables = {name: read_parquet(os.path.join(dirpath, meta["file"]))
+                  for name, meta in manifest["tables"].items()}
+        s = cls(tables, mesh=mesh, partitioning=partitioning)
+        s.views = dict(manifest.get("views", {}))
+        return s
+
     _DDL = None  # compiled lazily
 
     def _try_ddl(self, text: str):

@@ -872,8 +872,13 @@ def dist_execute(
     dist_tables: dict[str, DistTable],
     mesh: Mesh,
     max_retries: int = 8,
+    replicate_result: bool = False,
 ) -> Table:
-    """Run a plan SPMD over the mesh; returns the (replicated) result Table.
+    """Run a plan SPMD over the mesh; the result Table stays device-sharded
+    (collected host-side device-major — no final all_gather replicating the
+    whole result to every device). replicate_result=True restores the
+    replicated output (needed when every PROCESS of a multi-host mesh must
+    read the rows locally, parallel/multihost.py).
 
     dist_tables come from place_tables(). Capacity overflow -> host retry
     with grown capacities, like exec.plan.execute.
@@ -908,7 +913,10 @@ def dist_execute(
             ex = DistExecutor(ctx, dts, block_sel)
             out = ex.run(plan)
             table = out.table
-            if out.replicated:
+            if replicate_result:
+                if not out.replicated:
+                    table = shuf.gather_rows(table, AXIS)
+            elif out.replicated:
                 # keep one copy: only device 0's rows stay live in the
                 # host-collected (device-major) output
                 table = table.with_live(
@@ -924,13 +932,14 @@ def dist_execute(
         ) + tuple(P(AXIS) for _ in sel_ids)
         # the result stays SHARDED (device-major concat on collection): no
         # final all_gather replicating the whole result to every device
+        tspec = P() if replicate_result else P(AXIS)
         fn = shard_map(body, mesh=mesh, in_specs=in_specs,
-                       out_specs=(P(AXIS), P()), check_vma=False)
+                       out_specs=(tspec, P()), check_vma=False)
         return jax.jit(fn)
 
     sel_args = [jnp.asarray(sels[i][0]) for i in sel_ids]
     for _ in range(max_retries):
-        key = tuple(sorted(capacities.items()))
+        key = (replicate_result,) + tuple(sorted(capacities.items()))
         if key not in jit_cache:
             jit_cache[key] = make_fn(dict(capacities))
         out, flags = jit_cache[key](

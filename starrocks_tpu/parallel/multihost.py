@@ -138,6 +138,34 @@ def _make_global(host: dict, sharding, nrows: int) -> Table:
 
 def dist_execute(plan, dist_tables, mesh, max_retries: int = 8) -> Table:
     """Multi-host query execution: exactly dist.dist_execute (the SPMD
-    program is process-count-agnostic); the result is replicated, so every
-    process can read it locally."""
-    return D.dist_execute(plan, dist_tables, mesh, max_retries=max_retries)
+    program is process-count-agnostic) with replicate_result=True, so every
+    PROCESS holds the full result and can read it locally (a sharded result
+    would not be fully addressable from any single host)."""
+    return D.dist_execute(plan, dist_tables, mesh, max_retries=max_retries,
+                          replicate_result=True)
+
+
+def run_with_recovery(build_plan, tables, partitioning, meshes,
+                      execute=None) -> Table:
+    """Whole-query fail-retry (SURVEY §5 failure model): queries are
+    stateless, so when execution on a mesh fails (a lost host/device
+    surfaces as a runtime error on the first collective), the coordinator
+    re-places the tables on the next (surviving, usually smaller) mesh and
+    reruns the query from scratch — the analog of the reference's
+    HeartbeatMgr evicting a dead BE + the coordinator cancelling and
+    redeploying the query (fe/.../system/HeartbeatMgr.java:84,
+    qe/DefaultCoordinator cancel/retry).
+
+    build_plan: callable returning a FRESH plan (plan objects carry
+    per-mesh jit/capacity caches). meshes: primary first, fallbacks after.
+    """
+    execute = execute or D.dist_execute
+    last = None
+    for mesh in meshes:
+        try:
+            dtabs = D.place_tables(tables, mesh, partitioning)
+            return execute(build_plan(), dtabs, mesh)
+        except Exception as e:        # noqa: BLE001 — any failure retries
+            last = e
+            continue
+    raise RuntimeError("query failed on every mesh") from last

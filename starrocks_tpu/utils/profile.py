@@ -32,12 +32,15 @@ class NodeProfile:
     detail: str
     wall_ms: float = 0.0
     rows_out: int = 0
+    mem_bytes: int = 0          # output footprint (MemTracker-consumption analog)
     children: list = dataclasses.field(default_factory=list)
 
     def render(self, indent: int = 0) -> str:
         pad = "  " * indent
+        mem = (f"  mem={self.mem_bytes / 1e6:.2f}MB" if self.mem_bytes
+               else "")
         line = (f"{pad}{self.name} [{self.detail}]  "
-                f"rows={self.rows_out}  time={self.wall_ms:.2f}ms")
+                f"rows={self.rows_out}  time={self.wall_ms:.2f}ms{mem}")
         return "\n".join([line] + [c.render(indent + 1) for c in self.children])
 
 
@@ -112,6 +115,14 @@ def explain_analyze(plan: PlanNode, tables, capacities: Optional[dict] = None):
             rf = ctx.counters.get((node.node_id, "rf_rows_dropped"))
             if rf is not None:
                 prof.detail += f" rf_rows_dropped={rf}"
+            mem = 0
+            for c in out.columns.values():
+                mem += c.data.nbytes
+                if c.valid is not None:
+                    mem += c.valid.nbytes
+            if out.live is not None:
+                mem += out.live.nbytes
+            prof.mem_bytes = mem
         finally:
             for name, v in saved.items():
                 object.__setattr__(node, name, v)

@@ -88,3 +88,32 @@ def test_read_parquet_pipelined(tmp_path, tpch_tables):
     a = read_parquet(path).to_pandas()
     b = read_parquet_pipelined(path).to_pandas()
     assert a.equals(b)
+
+
+def test_save_load_catalog(tmp_path):
+    """Checkpoint/resume: parquet-per-table + manifest round trip (the FE
+    image / per-load manifest analog)."""
+    import numpy as np
+    from starrocks_tpu.column import dtypes as dt
+    from starrocks_tpu.column.column import Column, Table
+    from starrocks_tpu.exec.session import Session
+
+    t = Table(columns={
+        "id": Column.from_numpy(np.arange(100, dtype=np.int64), dt.INT64),
+        "name": Column.from_numpy(
+            np.asarray([f"n{i % 7}" for i in range(100)], object), dt.STRING),
+        "price": Column.from_numpy(np.arange(100, dtype=np.int64) * 5,
+                                   dt.DECIMAL(2)),
+    })
+    s = Session({"t": t})
+    s.sql("create view v as select id, price from t where id < 10")
+    d = str(tmp_path / "cat")
+    s.save_catalog(d)
+
+    s2 = Session.load_catalog(d)
+    q = "select count(*) c, sum(price) p from t where name = 'n3'"
+    assert s2.sql(q).equals(s.sql(q))
+    assert len(s2.sql("select * from v")) == 10
+    import json, os
+    m = json.load(open(os.path.join(d, "manifest.json")))
+    assert m["tables"]["t"]["rows"] == 100

@@ -65,3 +65,60 @@ def test_two_process_mesh_query(tmp_path, query):
     # compare first sort key column as strings (json round-trips types)
     first = want.columns[0]
     assert [str(x) for x in got[first]] == [str(x) for x in want[first]]
+
+
+def test_run_with_recovery_fails_over_to_smaller_mesh():
+    """The fail-retry harness: execution on the primary mesh dies (lost
+    device), the SAME query re-places and reruns on the surviving mesh,
+    exact result."""
+    import jax
+    import numpy as np
+    import pandas as pd
+    from starrocks_tpu.column import dtypes as dt
+    from starrocks_tpu.column.column import Column, Table
+    from starrocks_tpu.exec.plan import Aggregate, Filter, Scan
+    from starrocks_tpu.exprs.expr import col, lift as lit
+    from starrocks_tpu.ops.hash_agg import AggSpec
+    from starrocks_tpu.parallel import dist as D
+    from starrocks_tpu.parallel import multihost as MH
+
+    n = 2000
+    t = Table(columns={
+        "k": Column.from_numpy(np.arange(n, dtype=np.int64), dt.INT64)})
+    meshes = [D.make_mesh(8), D.make_mesh(4)]
+    attempts = []
+
+    def flaky_execute(plan, dtabs, mesh):
+        attempts.append(mesh.devices.size)
+        if len(attempts) == 1:
+            raise RuntimeError("simulated device loss on the 8-chip mesh")
+        return D.dist_execute(plan, dtabs, mesh)
+
+    def build_plan():
+        return Aggregate(Filter(Scan("t"), col("k") < lit(500)), (),
+                         (AggSpec("sum", "k", "s"),
+                          AggSpec("count", "k", "c")))
+
+    out = MH.run_with_recovery(build_plan, {"t": t}, {"t": ("k",)}, meshes,
+                               execute=flaky_execute)
+    df = out.to_pandas()
+    assert attempts == [8, 4]
+    assert df.s[0] == sum(range(500)) and df.c[0] == 500
+
+
+def test_run_with_recovery_exhausted_raises():
+    import numpy as np
+    from starrocks_tpu.column import dtypes as dt
+    from starrocks_tpu.column.column import Column, Table
+    from starrocks_tpu.exec.plan import Scan
+    from starrocks_tpu.parallel import dist as D
+    from starrocks_tpu.parallel import multihost as MH
+
+    t = Table(columns={"k": Column.from_numpy(np.arange(10), dt.INT64)})
+
+    def always_fail(plan, dtabs, mesh):
+        raise RuntimeError("down")
+
+    with pytest.raises(RuntimeError, match="every mesh"):
+        MH.run_with_recovery(lambda: Scan("t"), {"t": t}, {"t": ("k",)},
+                             [D.make_mesh(2)], execute=always_fail)
