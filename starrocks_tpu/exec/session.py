@@ -99,6 +99,13 @@ class Session:
         self.register(name, t)
         return t
 
+    def load_orc(self, name: str, path: str) -> Table:
+        """ORC bulk load (orc scanner analog)."""
+        from starrocks_tpu.io.parquet_io import read_orc
+        t = read_orc(path)
+        self.register(name, t)
+        return t
+
     def load_json(self, name: str, path: str, schema=None) -> Table:
         """ndjson bulk load (json_scanner.cpp analog); schema inferred when
         omitted."""

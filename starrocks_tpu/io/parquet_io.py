@@ -30,6 +30,20 @@ def read_parquet(path: str, columns: Optional[list[str]] = None) -> Table:
     return Table(columns=cols)
 
 
+def read_orc(path: str, columns: Optional[list[str]] = None) -> Table:
+    """ORC ingest (be/src/formats/orc/ analog): pyarrow's ORC reader does
+    stripe decoding host-side; conversion shares the parquet arrow→Table
+    path (dict-encoded strings, scaled decimals, validity masks)."""
+    from pyarrow import orc
+
+    t = orc.ORCFile(path).read(columns=columns)
+    cols: dict[str, Column] = {}
+    for name, chunked in zip(t.column_names, t.columns):
+        arr = chunked.combine_chunks()
+        cols[name] = _from_arrow(arr)
+    return Table(columns=cols)
+
+
 def read_parquet_pipelined(path: str,
                            columns: Optional[list[str]] = None) -> Table:
     """Row-group-pipelined ingest: decode group i+1 on a worker thread while

@@ -31,7 +31,7 @@ KEYWORDS = {
 }
 
 SYMBOLS = ["<>", "<=", ">=", "!=", "||", "(", ")", ",", ".", ";", "+", "-",
-           "*", "/", "<", ">", "="]
+           "*", "/", "%", "<", ">", "="]
 
 
 def tokenize(text: str) -> list[Token]:

@@ -342,6 +342,9 @@ class Parser:
             if t.kind == "SYMBOL" and t.value in ("*", "/"):
                 op = self.next().value
                 e = ast.BinOp(op, e, self.parse_unary())
+            elif t.kind == "SYMBOL" and t.value == "%":
+                self.next()
+                e = ast.Func("mod", [e, self.parse_unary()])
             else:
                 return e
 

@@ -105,3 +105,23 @@ def test_json_lines_ingest(tmp_path):
     assert df.tags.isna().iloc[1]
     agg = s.sql("select count(name) c, sum(score) s from j")
     assert agg.c[0] == 2 and abs(agg.s[0] - 7.25) < 1e-9
+
+
+def test_orc_ingest_roundtrip(tmp_path):
+    import pyarrow as pa
+    from pyarrow import orc
+    from starrocks_tpu.exec.session import Session
+
+    p = str(tmp_path / "t.orc")
+    at = pa.table({
+        "id": pa.array([1, 2, 3, None], pa.int64()),
+        "name": pa.array(["x", "y", None, "x"]),
+        "score": pa.array([1.5, None, 2.5, 3.5], pa.float64()),
+    })
+    orc.write_table(at, p)
+    s = Session({})
+    s.load_orc("o", p)
+    df = s.sql("select * from o order by id")
+    assert df.id.dropna().tolist() == [1, 2, 3]
+    agg = s.sql("select count(name) c, sum(score) sc from o")
+    assert agg.c[0] == 3 and abs(agg.sc[0] - 7.5) < 1e-9

@@ -133,3 +133,16 @@ def test_conditional(sess):
     np.testing.assert_array_equal(
         _col(sess, "ifnull(nullif(i, 0), -99)"),
         np.where(zero, -99, f.i))
+
+
+def test_modulo_operator_sql():
+    import numpy as np
+    from starrocks_tpu.column import dtypes as dt
+    from starrocks_tpu.column.column import Column, Table
+    from starrocks_tpu.exec.session import Session
+    t = Table(columns={"v": Column.from_numpy(np.arange(100, dtype=np.int64),
+                                              dt.INT64)})
+    s = Session({"t": t})
+    df = s.sql("select v % 7 m, count(*) c from t group by v % 7 order by m")
+    assert list(df.m) == list(range(7))
+    assert df.c.sum() == 100
