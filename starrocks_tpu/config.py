@@ -40,6 +40,12 @@ class EngineConfig:
     # bulk-loaded tables make table-version keys exact)
     enable_result_cache: bool = True
     result_cache_max_entries: int = 256
+    # admission control: queries beyond this many run concurrently queue at
+    # the session front door (the coordinator's query-queue analog,
+    # fe/.../qe/scheduler/slot/SlotManager — concurrency slots, not memory
+    # slots: device memory is capacity-planned per query here)
+    max_concurrent_queries: int = 4
+    admission_timeout_s: float = 300.0
     # --- distributed execution (parallel/dist.py) ---
     # builds whose GLOBAL row count (shard rows x ndev) exceeds this are
     # hash-shuffled on the join keys instead of broadcast (P4 vs P5; the

@@ -287,14 +287,44 @@ class Session:
                                             valid=None if ok.all() else ok)
         self.register(name, Table(columns=cols))
 
+    # process-wide admission gate (SlotManager analog): bounds concurrent
+    # query execution across every Session in the process; waiters queue
+    _admission = None
+
+    @classmethod
+    def _admit(cls):
+        import threading
+        from starrocks_tpu.config import CONFIG
+        if cls._admission is None or \
+                cls._admission._initial_value != CONFIG.max_concurrent_queries:
+            sem = threading.BoundedSemaphore(CONFIG.max_concurrent_queries)
+            sem._initial_value = CONFIG.max_concurrent_queries
+            cls._admission = sem
+        return cls._admission
+
     def sql(self, text: str):
         """Run a query, return a pandas DataFrame of the result rows."""
         import time
+        from starrocks_tpu.config import CONFIG
         from starrocks_tpu.utils.metrics import AUDIT, REGISTRY, AuditRecord
 
         ddl = self._try_ddl(text)
         if ddl is not None:
             return ddl
+        gate = self._admit()
+        if not gate.acquire(timeout=CONFIG.admission_timeout_s):
+            REGISTRY.inc("queries_rejected_total")
+            raise RuntimeError(
+                f"admission timeout: >{CONFIG.max_concurrent_queries} "
+                f"queries in flight for {CONFIG.admission_timeout_s}s")
+        try:
+            return self._sql_admitted(text)
+        finally:
+            gate.release()
+
+    def _sql_admitted(self, text: str):
+        import time
+        from starrocks_tpu.utils.metrics import AUDIT, REGISTRY, AuditRecord
         from starrocks_tpu.config import CONFIG
         if CONFIG.enable_result_cache:
             hit = self._result_cache.get(text)

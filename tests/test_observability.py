@@ -135,3 +135,53 @@ def test_insert_values_roundtrip():
     assert df.name.isna().iloc[0] and df.price.isna().iloc[0]
     # aggregates see appended rows
     assert s.sql("select count(*) c from t").c[0] == 5
+
+
+def test_admission_control_queues_and_rejects():
+    """Concurrency gate (query-queue/SlotManager analog): with 1 slot, a
+    second query queues behind the first; with a zero timeout it rejects."""
+    import threading
+    import time
+    import numpy as np
+    from starrocks_tpu.column import dtypes as dt
+    from starrocks_tpu.column.column import Column, Table
+    from starrocks_tpu.config import CONFIG, set_config
+    from starrocks_tpu.exec.session import Session
+
+    t = Table(columns={"v": Column.from_numpy(np.arange(1000), dt.INT64)})
+    s = Session({"t": t})
+    old = (CONFIG.max_concurrent_queries, CONFIG.admission_timeout_s,
+           CONFIG.enable_result_cache)
+    set_config(max_concurrent_queries=1, admission_timeout_s=30.0,
+               enable_result_cache=False)
+    Session._admission = None          # rebuild the gate at the new size
+    try:
+        results = []
+        barrier = threading.Barrier(3)
+
+        def worker():
+            barrier.wait()
+            results.append(int(s.sql("select sum(v) s from t").s[0]))
+
+        threads = [threading.Thread(target=worker) for _ in range(2)]
+        for th in threads:
+            th.start()
+        barrier.wait()
+        for th in threads:
+            th.join(60)
+        assert results == [sum(range(1000))] * 2   # both ran (serialized)
+
+        # zero-timeout rejection while the single slot is held
+        gate = Session._admit()
+        assert gate.acquire(timeout=1)
+        try:
+            set_config(admission_timeout_s=0.05)
+            import pytest as _pt
+            with _pt.raises(RuntimeError, match="admission timeout"):
+                s.sql("select count(*) c from t")
+        finally:
+            gate.release()
+    finally:
+        set_config(max_concurrent_queries=old[0], admission_timeout_s=old[1],
+                   enable_result_cache=old[2])
+        Session._admission = None
