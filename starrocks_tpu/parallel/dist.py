@@ -201,6 +201,34 @@ class DistExecutor:
         self._memo: dict[int, DistTable] = {}   # shared CTE subplans (DAGs)
 
     # -- helpers -----------------------------------------------------------
+    def _compact(self, dt: DistTable, node: PlanNode, slot: int,
+                 frac: int = 32) -> DistTable:
+        """Sized shard compaction with overflow-flag retry — the traced-mode
+        analog of the eager executor's adaptive maybe_compact. Without it,
+        chained fanout-expansion joins and union branches compound their
+        PADDED shapes multiplicatively (each expand join multiplies the
+        static shape by its fanout even when almost every row is dead),
+        which blows up compile memory and overflows int32 index math on
+        deep TPC-DS plans. Shrinks a shard to a pow2 capacity (initially
+        nrows/frac); a capacity retry grows it if the live count exceeds."""
+        from starrocks_tpu.column.column import compact_table
+        t = dt.table
+        key = (node.node_id, slot)
+        if t.nrows < 4096:          # not worth the partition pass
+            return dt
+        # start SMALL (nrows/frac, floor 2048): a too-small cap costs a few
+        # overflow-retry recompiles that converge and cache on the plan; a
+        # too-big cap lets fanout-expansion chains outgrow every shrink
+        cap = self.ctx.capacity(key, 0) or max(
+            2048, hash_agg._next_pow2(max(t.nrows // frac, 1)))
+        self.ctx.capacities[key] = cap
+        if cap >= t.nrows:
+            return dt
+        self.ctx.report(
+            key, jnp.sum(t.live_mask().astype(jnp.int32)) > cap)
+        return DistTable(compact_table(t, cap), dt.part_keys, dt.replicated,
+                         dt.zone_maps, dt.zone_block_rows)
+
     def _keys_cover(self, part_keys, names) -> bool:
         """Partitioned-on-part_keys data needs no exchange for grouping/join
         on `names` iff part_keys is a subset of names (equal keys colocate)."""
@@ -406,7 +434,12 @@ class DistExecutor:
                     # broadcast the build side (UNPARTITIONED exchange, P5)
                     bdt = DistTable(shuf.gather_rows(bdt.table, AXIS), None,
                                     True)
-        # after exchange placement, the node's own local kernels run
+        # after exchange placement, the node's own local kernels run;
+        # compact both inputs first (the eager path's maybe_compact analog —
+        # bounds the multiplicative padded-shape growth of chained
+        # fanout-expansion joins)
+        pdt = self._compact(pdt, node, 110)
+        bdt = self._compact(bdt, node, 111)
         out = node.run_local(self.ctx, pdt.table, bdt.table)
         repl = pdt.replicated and bdt.replicated
         if right_family:
@@ -644,6 +677,11 @@ class DistExecutor:
             else:
                 ldt = DistTable(shuf.gather_rows(ldt.table, AXIS), None, True)
         if node.kind == "union_all":
+            # compact both branches: rollup/grouping-sets plans chain many
+            # union_all nodes, and concatenating padded branch outputs
+            # compounds dead rows linearly down the chain
+            ldt = self._compact(ldt, node, 112)
+            rdt = self._compact(rdt, node, 113)
             out = node.run_local(self.ctx, ldt.table, rdt.table)
             return DistTable(out, None, ldt.replicated)
         # distinct set ops dedupe across shards: shuffle both sides by all
@@ -660,7 +698,7 @@ class DistExecutor:
 
     def _run_Window(self, node) -> DistTable:
         from starrocks_tpu.ops.window import window as _window
-        dt = self.run(node.child)
+        dt = self._compact(self.run(node.child), node, 114)
         if not dt.replicated and node.partition_by and not self._keys_cover(
                 dt.part_keys, node.partition_by):
             # repartition so every window partition is whole on one device —
@@ -675,7 +713,7 @@ class DistExecutor:
 
     def _run_Sort(self, node: Sort) -> DistTable:
         from starrocks_tpu.config import CONFIG
-        dt = self.run(node.child)
+        dt = self._compact(self.run(node.child), node, 115)
         if dt.replicated:
             return DistTable(sort_table(dt.table, node.keys, node.limit),
                              None, True)
@@ -966,5 +1004,9 @@ def dist_execute(
                     cur = hash_agg._next_pow2(max(16, node.est_groups * 2))
                 else:
                     cur = 1024
-            capacities[k] = cur * 4
+            # compaction slots (>=110) start deliberately small; grow them
+            # fast so a dense input costs at most ~2 extra recompiles
+            growth = 16 if (isinstance(k, tuple) and len(k) == 2
+                            and isinstance(k[1], int) and k[1] >= 110) else 4
+            capacities[k] = cur * growth
     raise RuntimeError("distributed plan did not converge after capacity retries")
