@@ -19,6 +19,7 @@ BENCH_BUDGET_S soft time budget for the suite (default 2400).
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -194,7 +195,44 @@ def bench_ooc():
                                   "best_s": round(best, 4)}}), flush=True)
 
 
+def _device_liveness_probe(timeout_s: float = 180.0) -> bool:
+    """Failure detection for the bench itself: dispatch a tiny computation
+    and require the device->host readback to complete within the timeout.
+    The axon relay's D2H path can wedge (observed: dispatch succeeds,
+    readbacks hang indefinitely); without this gate the whole bench hangs
+    with no output instead of reporting a diagnosable failure."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax.numpy as jnp
+        ok.append(float(jnp.arange(8).sum()) == 28.0)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return bool(ok and ok[0])
+
+
 def main():
+    if not _device_liveness_probe():
+        # the relay recovers after idle minutes, but hung calls in THIS
+        # process never complete — a fresh process gets a fresh client, so
+        # wait out the wedge once and re-exec
+        if os.environ.get("BENCH_RELAY_RETRY") != "1":
+            print("# device readback wedged; waiting 600s then retrying "
+                  "in a fresh process", flush=True)
+            time.sleep(600)
+            os.environ["BENCH_RELAY_RETRY"] = "1"
+            os.execv(sys.executable, [sys.executable, __file__])
+        print(json.dumps({
+            "metric": "q6_filter_agg_rows_per_s_per_chip", "value": 0,
+            "unit": "rows/s", "vs_baseline": 0.0,
+            "error": "device readback did not complete within 180s "
+                     "(relay D2H path wedged), twice; bench aborted"}),
+            flush=True)
+        os._exit(2)
     q6 = bench_q6_micro()
     suite_line = None
     if os.environ.get("BENCH_SUITE", "1") == "1":
