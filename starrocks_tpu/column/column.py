@@ -206,22 +206,42 @@ class Table:
         Compaction happens ON DEVICE (stable partition of live rows to the
         front via the packed sort), so only the live rows cross the
         device->host link — the analog of the result sink sending only real
-        rows (be/src/runtime/buffer_control_block.h). Shipping the full
-        padded table through the axon relay cost hundreds of ms per query.
+        rows (be/src/runtime/buffer_control_block.h). All columns and
+        validity masks then pack into ONE uint8 buffer on device and cross
+        the link in ONE transfer: each device->host pull through the axon
+        relay costs a ~25ms round trip, so per-array pulls dominated query
+        wall time for wide results.
         """
         import pandas as pd
 
         if self.live is None:
-            out = {}
-            for n, c in self.columns.items():
-                arr = c.to_numpy(None)
-                out[n] = arr if limit is None else arr[:limit]
-            return pd.DataFrame(out)
-
-        compacted, count = _compact_live(self)
-        k = int(count)
+            compacted, k = self, self.nrows
+        else:
+            compacted, count = _compact_live(self)
+            k = int(count)
         if limit is not None:
             k = min(k, limit)
+        if k == 0:
+            return pd.DataFrame({
+                n: Column(c.data[:0], None, c.dtype, c.dict_id).to_numpy(None)
+                for n, c in compacted.columns.items()})
+        m = min(compacted.nrows, max(1, 1 << (k - 1).bit_length()))
+        if _pack_supported():
+            buf = np.asarray(_pack_to_bytes(compacted, m))
+            out = {}
+            off = 0
+            for n, c in compacted.columns.items():
+                nb = m * c.data.dtype.itemsize
+                data = np.frombuffer(buf[off:off + nb].tobytes(),
+                                     dtype=c.data.dtype)[:k]
+                off += nb
+                valid = None
+                if c.valid is not None:
+                    valid = buf[off:off + m][:k].astype(bool)
+                    off += m
+                out[n] = Column(data, valid, c.dtype, c.dict_id,
+                                c.vrange).to_numpy(None)
+            return pd.DataFrame(out)
         out = {}
         for n, c in compacted.columns.items():
             head = Column(c.data[:k],
@@ -229,6 +249,49 @@ class Table:
                           c.dtype, c.dict_id, c.vrange)
             out[n] = head.to_numpy(None)
         return pd.DataFrame(out)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=1)
+def _pack_to_bytes(table: Table, m: int) -> jax.Array:
+    """Concatenate every column's first m rows (data bitcast to bytes +
+    validity as bytes) into one uint8 buffer — result extraction then costs
+    ONE device->host transfer (the result-batch serialization analog,
+    mysql_result_writer.cpp, except the 'serialization' is a bitcast)."""
+    parts = []
+    for c in table.columns.values():
+        d = c.data[:m]
+        if d.dtype == jnp.bool_:
+            parts.append(d.astype(jnp.uint8))
+        else:
+            parts.append(
+                jax.lax.bitcast_convert_type(d, jnp.uint8).reshape(-1))
+        if c.valid is not None:
+            parts.append(c.valid[:m].astype(jnp.uint8))
+    return jnp.concatenate(parts)
+
+
+_PACK_OK = None
+
+
+def _pack_supported() -> bool:
+    """One-time self-check that the backend's bitcast byte order matches
+    numpy's on this host (guards against a backend where bitcast_convert
+    lays bytes out big-endian); mismatch falls back to per-array pulls."""
+    global _PACK_OK
+    if _PACK_OK is None:
+        try:
+            vals = np.asarray([0x0102030405060708, -42], np.int64)
+            t = Table(columns={"x": Column(jnp.asarray(vals), None,
+                                           dtypes.INT64)})
+            buf = np.asarray(_pack_to_bytes(t, 2))
+            back = np.frombuffer(buf.tobytes(), np.int64)
+            _PACK_OK = bool((back == vals).all())
+        except Exception:
+            _PACK_OK = False
+    return _PACK_OK
 
 
 @jax.jit

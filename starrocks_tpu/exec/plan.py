@@ -91,15 +91,23 @@ class ExecContext:
             cache[key] = jax.jit(fn)
         return cache[key](*args)
 
-    def maybe_compact(self, node: "PlanNode", t: Table, tag: str = "c") -> Table:
+    def maybe_compact(self, node: "PlanNode", t: Table, tag: str = "c",
+                      pre=None, pre_args=(), pre_key=()) -> Table:
         """Eager-mode adaptive compaction: when a table's live fraction is
         low, shrink it to a pow2-padded array of just the live rows so every
         downstream operator runs on the smaller shape. Pow2 targets bound the
         number of compiled shapes; the live-count readback is the same class
-        of host sync the capacity-retry flags already pay."""
+        of host sync the capacity-retry flags already pay.
+
+        `pre` (fn(t, *pre_args) -> t) is a pure row-masking transform (e.g.
+        a join's runtime filter) fused INTO the compaction dispatch: every
+        jitted call costs a fixed round trip on a relay-attached device, so
+        pre+compact runs as one kernel on the warm path instead of two."""
         from starrocks_tpu.config import CONFIG
         if (not self.eager or not CONFIG.enable_compaction
                 or t.live is None or t.nrows < CONFIG.compaction_min_rows):
+            if pre is not None:
+                return self.op(node, pre, t, *pre_args, key=("pre",) + pre_key)
             return t
         from starrocks_tpu.column.column import compact_table
         ckey = (node.node_id, f"compact:{tag}")
@@ -108,13 +116,22 @@ class ExecContext:
             # warm path: reuse the fitted size without a live-count readback;
             # a deferred fit-flag catches data that outgrew it
             if m == 0:                  # previously decided "don't compact"
+                if pre is not None:
+                    return self.op(node, pre, t, *pre_args,
+                                   key=("pre",) + pre_key)
                 return t
-            def kernel(t):
-                return compact_table(t, m), _live_count(t.live) > m
-            out, flag = self.op(node, kernel, t, key=("cfit", tag, m))
+
+            def kernel(t, *a):
+                if pre is not None:
+                    t = pre(t, *a)
+                return compact_table(t, m), _live_count(t.live_mask()) > m
+            out, flag = self.op(node, kernel, t, *pre_args,
+                                key=("cfit", tag, m) + pre_key)
             self.deferred.append((ckey, flag))
             return out
-        n_live = int(_live_count(t.live))
+        if pre is not None:
+            t = self.op(node, pre, t, *pre_args, key=("pre",) + pre_key)
+        n_live = int(_live_count(t.live_mask()))
         m = max(1 << max(n_live - 1, 1).bit_length(), CONFIG.compaction_floor)
         if m * 2 > t.nrows:
             self.capacities[ckey] = 0
@@ -163,6 +180,10 @@ class PlanNode:
         # DAG-shaped plan (shared CTE subplan) evaluates each node once
         super().__init_subclass__(**kw)
         inner = cls.__dict__.get("run")
+        if inner is None:
+            rcn = globals().get("_RowChainNode")
+            if rcn is not None and issubclass(cls, rcn):
+                inner = rcn.run
         if inner is None:
             return
 
@@ -248,55 +269,74 @@ class BlockScan(PlanNode):
         return ctx.op(self, kernel, t)
 
 
+class _RowChainNode:
+    """Mixin for row-wise operators (Filter/Project/AddColumns) whose pure
+    per-table transforms compose. In eager mode, a LINEAR chain of these
+    (each link referenced by exactly one parent — shared CTE subplans stay
+    unfused so their memoized result is reusable) executes as ONE jitted
+    dispatch instead of one per operator. On a local chip this only trims
+    Python overhead; through a dispatch-latency-bound link (the axon relay
+    costs ~25ms per execute round trip) it is a first-order query-time win.
+    The reference gets the same effect from pipeline-driver operator chaining
+    (pipeline_driver.cpp:246); XLA fuses the composed elementwise work."""
+
+    def run(self, ctx):
+        chain = [self]
+        node = self
+        rc = getattr(ctx, "refcounts", None)
+        if ctx.eager and rc is not None:
+            while (isinstance(node.child, _RowChainNode)
+                   and rc.get(node.child.node_id, 2) == 1):
+                node = node.child
+                chain.append(node)
+        src = node.child.run(ctx)
+        if len(chain) == 1:
+            out = ctx.op(self, self._pure, src)
+        else:
+            def kernel(t):
+                for nd in reversed(chain):
+                    t = nd._pure(t)
+                return t
+            out = ctx.op(self, kernel, src, key=("fchain", len(chain)))
+        if any(type(nd).__name__ == "Filter" for nd in chain):
+            out = ctx.maybe_compact(self, out)
+        return out
+
+
 @dataclasses.dataclass(eq=False)
-class Filter(PlanNode):
+class Filter(_RowChainNode, PlanNode):
     child: PlanNode
     predicate: Expr
 
-    def run(self, ctx):
-        t = self.child.run(ctx)
-
-        def kernel(t):
-            p = self.predicate.eval(t)
-            mask = p.data if p.valid is None else (p.data & p.valid)
-            return t.filter(mask)
-
-        return ctx.maybe_compact(self, ctx.op(self, kernel, t))
+    def _pure(self, t):
+        p = self.predicate.eval(t)
+        mask = p.data if p.valid is None else (p.data & p.valid)
+        return t.filter(mask)
 
 
 @dataclasses.dataclass(eq=False)
-class Project(PlanNode):
+class Project(_RowChainNode, PlanNode):
     """Output exactly `outputs` (name -> Expr or column-name str)."""
     child: PlanNode
     outputs: dict
 
-    def run(self, ctx):
-        t = self.child.run(ctx)
-
-        def kernel(t):
-            cols = {}
-            for name, e in self.outputs.items():
-                cols[name] = t[e] if isinstance(e, str) else e.eval(t)
-            return Table(columns=cols, live=t.live)
-
-        return ctx.op(self, kernel, t)
+    def _pure(self, t):
+        cols = {}
+        for name, e in self.outputs.items():
+            cols[name] = t[e] if isinstance(e, str) else e.eval(t)
+        return Table(columns=cols, live=t.live)
 
 
 @dataclasses.dataclass(eq=False)
-class AddColumns(PlanNode):
+class AddColumns(_RowChainNode, PlanNode):
     """Keep child columns, add computed ones."""
     child: PlanNode
     outputs: dict
 
-    def run(self, ctx):
-        t = self.child.run(ctx)
-
-        def kernel(t):
-            for name, e in self.outputs.items():
-                t = t.with_column(name, e.eval(t))
-            return t
-
-        return ctx.op(self, kernel, t)
+    def _pure(self, t):
+        for name, e in self.outputs.items():
+            t = t.with_column(name, e.eval(t))
+        return t
 
 
 @dataclasses.dataclass(eq=False)
@@ -352,15 +392,22 @@ class HashJoin(PlanNode):
             use_bloom = (CONFIG.enable_bloom_rf
                          and p.nrows >= CONFIG.bloom_rf_min_probe_rows)
             bpk = CONFIG.bloom_rf_bits_per_key
-            prof = getattr(ctx, "profile", False)
-            before = int(_live_count(p.live_mask())) if prof else 0
-            p = ctx.op(self,
-                       lambda p, b: self._rf_kernel(p, b, use_bloom, bpk),
-                       p, b, key=("rf", use_bloom, bpk))
-            if prof:
+            if getattr(ctx, "profile", False):
+                before = int(_live_count(p.live_mask()))
+                p = ctx.op(self,
+                           lambda p, b: self._rf_kernel(p, b, use_bloom, bpk),
+                           p, b, key=("rf", use_bloom, bpk))
                 ctx.counters[(self.node_id, "rf_rows_dropped")] = \
                     before - int(_live_count(p.live_mask()))
-        p = ctx.maybe_compact(self, p, tag="cp")
+                p = ctx.maybe_compact(self, p, tag="cp")
+            else:
+                # RF fused into the compaction dispatch (one round trip)
+                p = ctx.maybe_compact(
+                    self, p, tag="cp",
+                    pre=lambda t, bb: self._rf_kernel(t, bb, use_bloom, bpk),
+                    pre_args=(b,), pre_key=("rf", use_bloom, bpk))
+        else:
+            p = ctx.maybe_compact(self, p, tag="cp")
         # size the table off the actual (post-compaction) build shape, not
         # the planner's estimate: 2*Nb slots guarantees load factor <= 0.5
         # even if every row is live, so build-capacity retries (each one a
@@ -1021,8 +1068,13 @@ def execute(plan: PlanNode, tables: dict[str, Table], max_retries: int = None) -
     if max_retries is None:
         max_retries = CONFIG.max_capacity_retries
     caps = dict(getattr(plan, "_converged_caps", {}))
+    refcounts: dict = {}
+    for node in plan.walk():
+        for c in node.children():
+            refcounts[c.node_id] = refcounts.get(c.node_id, 0) + 1
     for _ in range(max_retries):
         ctx = ExecContext(tables, caps, eager=True)
+        ctx.refcounts = refcounts
         out = plan.run(ctx)
         if not ctx.deferred:
             break
