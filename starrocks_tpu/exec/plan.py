@@ -284,20 +284,34 @@ class _RowChainNode:
         chain = [self]
         node = self
         rc = getattr(ctx, "refcounts", None)
-        if ctx.eager and rc is not None:
+        if (ctx.eager and rc is not None
+                and not getattr(self, "_no_fuse", False)):
             while (isinstance(node.child, _RowChainNode)
                    and rc.get(node.child.node_id, 2) == 1):
                 node = node.child
                 chain.append(node)
-        src = node.child.run(ctx)
         if len(chain) == 1:
+            src = self.child.run(ctx)
             out = ctx.op(self, self._pure, src)
-        else:
-            def kernel(t):
-                for nd in reversed(chain):
-                    t = nd._pure(t)
-                return t
+            if type(self).__name__ == "Filter":
+                out = ctx.maybe_compact(self, out)
+            return out
+        src = node.child.run(ctx)
+
+        def kernel(t):
+            for nd in reversed(chain):
+                t = nd._pure(t)
+            return t
+        try:
             out = ctx.op(self, kernel, src, key=("fchain", len(chain)))
+        except Exception:
+            # some TPU compiler versions reject specific fused compositions
+            # (remote_compile 500) that compile fine as separate modules:
+            # remember, degrade to per-operator execution (children fuse
+            # their own sub-chains, recursively degrading if needed)
+            self._no_fuse = True
+            src = self.child.run(ctx)
+            out = ctx.op(self, self._pure, src)
         if any(type(nd).__name__ == "Filter" for nd in chain):
             out = ctx.maybe_compact(self, out)
         return out

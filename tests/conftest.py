@@ -31,15 +31,32 @@ from starrocks_tpu.io import tpch  # noqa: E402
 @pytest.fixture(autouse=True, scope="module")
 def _bound_compile_state():
     """The full suite compiles ~hundreds of distinct XLA:CPU modules in one
-    process; past ~180 tests the accumulated compile state reproducibly
+    process; past a few hundred the accumulated compile state reproducibly
     segfaults inside backend_compile_and_load (jaxlib 0.9.0, XLA:CPU).
-    Dropping compiled executables between test modules bounds that state.
-    Module-scoped so intra-module jit reuse (the warm-path tests) is
-    untouched; cross-module recompiles are cheap on CPU."""
+    Dropping compiled executables between test modules bounds that state
+    (pytest.ini's xdist workers bound it further per process). Module-scoped
+    so intra-module jit reuse (the warm-path tests) is untouched;
+    cross-module recompiles are cheap on CPU."""
     import gc
     yield
     jax.clear_caches()
     gc.collect()
+
+
+# modules that alone compile hundreds of distinct modules (a whole benchmark
+# suite per file): clear per TEST, or a single worker process can cross the
+# jaxlib compile-state segfault threshold mid-file
+_HEAVY_MODULES = {"test_tpcds", "test_distributed", "test_tpch_suite",
+                  "test_stream", "test_ssb", "test_sql_tpch"}
+
+
+@pytest.fixture(autouse=True)
+def _bound_compile_state_heavy(request):
+    yield
+    if getattr(request.module, "__name__", "") in _HEAVY_MODULES:
+        import gc
+        jax.clear_caches()
+        gc.collect()
 
 
 @pytest.fixture(scope="session")
