@@ -784,8 +784,12 @@ class GroupConcat(PlanNode):
         return data.astype(str).astype(object)
 
     def run(self, ctx):
+        return self.finalize(self.child.run(ctx))
+
+    def finalize(self, t: Table) -> Table:
+        """Host concatenation over a resolved input table (split out so the
+        stream executor can feed a materialized block stream)."""
         import numpy as np
-        t = self.child.run(ctx)
         live = np.asarray(t.live_mask())
         c = t[self.col]
         vdata = np.asarray(c.data)

@@ -605,6 +605,9 @@ class StreamExecutor:
             return self.ctx.op(node, kernel, out, key=("lim2", out.nrows))
         return self.ctx.op(node, kernel, src, key="limres")
 
+    def _run_GroupConcat(self, node):
+        return node.finalize(self.table(node.child))
+
     def _run_Window(self, node: Window):
         from starrocks_tpu.ops.window import window as _window
         t = self.ctx.maybe_compact(node, self.table(node.child))

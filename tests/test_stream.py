@@ -202,3 +202,19 @@ def test_partitioned_join_all_types(partitioned_join_cfg):
                    "right join b on k = bk")
     wr = pf.merge(bf, left_on="k", right_on="bk", how="right")
     assert got.c[0] == len(wr) and got.cv[0] == wr.v.notna().sum()
+
+
+def test_stream_group_concat(partitioned_join_cfg):
+    """group_concat over a host-streamed table (materialize -> host
+    finalization)."""
+    from starrocks_tpu.column import dtypes as dt
+    tables = {
+        "t": HostTable.from_numpy(
+            {"g": np.array([1, 1, 2, 2, 2] * 800),
+             "s": np.array(["a", "b", "c", "d", "e"] * 800, object)},
+            {"g": dt.INT64, "s": dt.STRING}),
+    }
+    sess = Session(tables)
+    df = sess.sql("select g, group_concat(distinct s) cs from t "
+                  "group by g order by g")
+    assert list(df.cs) == ["a, b", "c, d, e"]
