@@ -1868,10 +1868,58 @@ class Planner:
             binder.hook = prev
 
 
+
+
+def rewrite_eager_count(plan: PlanNode) -> PlanNode:
+    """Eager aggregation (the CBO push-agg-through-join rewrite the
+    reference applies to q13-class shapes, SplitAggregateRule family):
+    COUNT of build-side columns grouped by probe-side keys over a FANOUT
+    (non-unique) join rewrites to a pre-aggregate of the build side by the
+    join key + a UNIQUE join + SUM of the per-key counts. The join's static
+    output shrinks from probe_rows x fanout to probe_rows (q13: a 9.6M-row
+    expand join becomes a 150k-row unique-build lookup)."""
+    import dataclasses as _dc
+
+    def xform(node):
+        for f in _dc.fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, PlanNode):
+                setattr(node, f.name, xform(v))
+        if not isinstance(node, Aggregate) or not node.keys or not node.aggs:
+            return node
+        j = node.child
+        if (not isinstance(j, HashJoin) or j.unique
+                or j.join_type not in ("left_outer", "inner")
+                or len(j.left_keys) != 1 or j.null_safe):
+            return node
+        bcols = set(j.build_cols)
+        if any(a.fn != "count" or a.col not in bcols for a in node.aggs):
+            return node
+        if any(k in bcols for k in node.keys):
+            return node
+        pk, bk = j.left_keys[0], j.right_keys[0]
+        pre_specs = [AggSpec("count", a.col, f"_ec{node.node_id}_{i}")
+                     for i, a in enumerate(node.aggs)]
+        pre = Aggregate(j.build, (bk,), tuple(pre_specs),
+                        est_groups=max(node.est_groups, 1024))
+        join2 = HashJoin(j.probe, pre, (pk,), (bk,), j.join_type,
+                         tuple(sp.out for sp in pre_specs),
+                         capacity=j.capacity, unique=True)
+        add = AddColumns(join2, {
+            sp.out + "z": E.Coalesce([E.ColRef(sp.out),
+                                      E.Literal(0, dt.INT64)])
+            for sp in pre_specs})
+        return Aggregate(add, node.keys,
+                         tuple(AggSpec("sum", sp.out + "z", a.out)
+                               for sp, a in zip(pre_specs, node.aggs)),
+                         est_groups=node.est_groups)
+
+    return xform(plan)
+
 def plan_sql(text: str, catalog: Catalog, views: Optional[dict] = None) -> PlanNode:
     from starrocks_tpu.sql.parser import parse
     stmt = parse(text)
     p = Planner(catalog)
     if views:
         p._ctes = {name: parse(sql) for name, sql in views.items()}
-    return p.plan_stmt(stmt).plan
+    return rewrite_eager_count(p.plan_stmt(stmt).plan)
