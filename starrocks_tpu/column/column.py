@@ -227,13 +227,20 @@ class Table:
                 for n, c in compacted.columns.items()})
         m = min(compacted.nrows, max(1, 1 << (k - 1).bit_length()))
         if _pack_supported():
+            from starrocks_tpu.ops import float_bits
+            pair_f64 = not float_bits.f64_bitcast_ok()
             buf = np.asarray(_pack_to_bytes(compacted, m))
             out = {}
             off = 0
             for n, c in compacted.columns.items():
                 nb = m * c.data.dtype.itemsize
-                data = np.frombuffer(buf[off:off + nb].tobytes(),
-                                     dtype=c.data.dtype)[:k]
+                raw = buf[off:off + nb].tobytes()
+                if c.data.dtype == jnp.float64 and pair_f64:
+                    hi = np.frombuffer(raw[:m * 4], np.float32)
+                    lo = np.frombuffer(raw[m * 4:], np.float32)
+                    data = float_bits.merge_pair_np(hi, lo)[:k]
+                else:
+                    data = np.frombuffer(raw, dtype=c.data.dtype)[:k]
                 off += nb
                 valid = None
                 if c.valid is not None:
@@ -259,12 +266,23 @@ def _pack_to_bytes(table: Table, m: int) -> jax.Array:
     """Concatenate every column's first m rows (data bitcast to bytes +
     validity as bytes) into one uint8 buffer — result extraction then costs
     ONE device->host transfer (the result-batch serialization analog,
-    mysql_result_writer.cpp, except the 'serialization' is a bitcast)."""
+    mysql_result_writer.cpp, except the 'serialization' is a bitcast).
+
+    float64 columns on backends whose AOT compiler rejects 64-bit float
+    bitcasts (ops/float_bits.py) pack as their (hi, lo) float32 pair —
+    same byte count, so the host-side offsets are layout-independent."""
+    from starrocks_tpu.ops import float_bits
     parts = []
     for c in table.columns.values():
         d = c.data[:m]
         if d.dtype == jnp.bool_:
             parts.append(d.astype(jnp.uint8))
+        elif d.dtype == jnp.float64 and not float_bits.f64_bitcast_ok():
+            hi, lo = float_bits.split_pair(d)
+            parts.append(
+                jax.lax.bitcast_convert_type(hi, jnp.uint8).reshape(-1))
+            parts.append(
+                jax.lax.bitcast_convert_type(lo, jnp.uint8).reshape(-1))
         else:
             parts.append(
                 jax.lax.bitcast_convert_type(d, jnp.uint8).reshape(-1))
@@ -279,16 +297,29 @@ _PACK_OK = None
 def _pack_supported() -> bool:
     """One-time self-check that the backend's bitcast byte order matches
     numpy's on this host (guards against a backend where bitcast_convert
-    lays bytes out big-endian); mismatch falls back to per-array pulls."""
+    lays bytes out big-endian); mismatch falls back to per-array pulls.
+    Also exercises the float64 path (pair-packed on backends without f64
+    bitcasts, ops/float_bits.py) against the stored device values."""
     global _PACK_OK
     if _PACK_OK is None:
         try:
-            vals = np.asarray([0x0102030405060708, -42], np.int64)
-            t = Table(columns={"x": Column(jnp.asarray(vals), None,
-                                           dtypes.INT64)})
+            from starrocks_tpu.ops import float_bits
+            pair = not float_bits.f64_bitcast_ok()
+            ivals = np.asarray([0x0102030405060708, -42], np.int64)
+            fdev = jnp.asarray(np.asarray([1.5, -3.25e10], np.float64))
+            fvals = np.asarray(fdev)      # as stored (may be pair-rounded)
+            t = Table(columns={
+                "x": Column(jnp.asarray(ivals), None, dtypes.INT64),
+                "f": Column(fdev, None, dtypes.FLOAT64)})
             buf = np.asarray(_pack_to_bytes(t, 2))
-            back = np.frombuffer(buf.tobytes(), np.int64)
-            _PACK_OK = bool((back == vals).all())
+            back = np.frombuffer(buf[:16].tobytes(), np.int64)
+            if pair:
+                hi = np.frombuffer(buf[16:24].tobytes(), np.float32)
+                lo = np.frombuffer(buf[24:32].tobytes(), np.float32)
+                fback = float_bits.merge_pair_np(hi, lo)
+            else:
+                fback = np.frombuffer(buf[16:32].tobytes(), np.float64)
+            _PACK_OK = bool((back == ivals).all() and (fback == fvals).all())
         except Exception:
             _PACK_OK = False
     return _PACK_OK

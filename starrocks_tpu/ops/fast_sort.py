@@ -155,10 +155,8 @@ def normalize_keys(
     normalization (ops/sort._normalize)."""
     d = col.data
     if jnp.issubdtype(d.dtype, jnp.floating):
-        bu = jax.lax.bitcast_convert_type(d.astype(jnp.float64), _U)
-        msb = _U(1 << 63)
-        neg = (bu & msb) != 0
-        codes = jnp.where(neg, ~bu, bu | msb)    # IEEE754 total order
+        from starrocks_tpu.ops import float_bits
+        codes = float_bits.order_u64(d.astype(jnp.float64))
         nbits = 64
     elif col.vrange is not None:
         lo, hi = col.vrange
