@@ -26,6 +26,11 @@ class EngineConfig:
     shuffle_bucket_headroom: float = 2.0   # per-dest capacity multiplier
     # bench/timing
     relay_roundtrip_ms: float = 30.0
+    # whole-query warm path: once capacities converge, run the plan as ONE
+    # jitted module (pipeline_driver.cpp:246 hot-loop analog) instead of
+    # one module per operator — first-order win through a
+    # dispatch-latency-bound device link
+    enable_whole_query_jit: bool = True
     # adaptive compaction (eager mode): shrink a table's static shape when a
     # filter proved selective. Costs one live-count readback + one device
     # pass; pays when downstream operators are heavy.
@@ -61,6 +66,10 @@ class EngineConfig:
     dist_range_sort_threshold_rows: int = 1 << 16
     # ANALYZE heavy-hitter fraction above which a shuffle join gets salted
     skew_hot_key_fraction: float = 0.3
+    # two-phase agg passthrough (aggregator.cpp:770 analog): when estimated
+    # groups >= this fraction of global input rows, the local pre-agg won't
+    # reduce — shuffle raw rows and aggregate once instead
+    dist_preagg_passthrough_ratio: float = 0.5
     # bloom runtime filter (bit array pushed to the probe side,
     # exec/plan.py _rf_kernel; RuntimeMembershipFilter analog)
     enable_bloom_rf: bool = True

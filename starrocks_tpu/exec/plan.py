@@ -47,12 +47,18 @@ class ExecContext:
     """Per-execution state: sizing registry + (traced mode) overflow flags."""
 
     def __init__(self, tables: dict[str, Table], capacities: Optional[dict] = None,
-                 eager: bool = False):
+                 eager: bool = False, frozen: bool = False):
         self.tables = tables
         self.capacities = capacities if capacities is not None else {}
         self.overflows: dict = {}
         self.used_sizes: dict = {}
         self.eager = eager
+        # frozen: whole-query traced execution with sizes converged by a
+        # prior eager run — compaction/runtime filters apply with their
+        # recorded sizes and every correctness flag lands in `overflows`
+        # for ONE post-execution readback (the warm path: a query is one
+        # jitted dispatch instead of one per operator)
+        self.frozen = frozen
         # diagnostic counters (EXPLAIN ANALYZE only: `profile` gates the
         # host syncs they cost) — e.g. runtime-filter probe-row reduction
         self.profile = False
@@ -86,6 +92,9 @@ class ExecContext:
         module (cached per static `key`) when eager."""
         if not self.eager:
             return fn(*args)
+        from starrocks_tpu.utils import failpoint
+        failpoint.hit(f"exec.op.{type(node).__name__}")
+        self.dispatches = getattr(self, "dispatches", 0) + 1
         cache = node.__dict__.setdefault("_op_jits", {})
         if key not in cache:
             cache[key] = jax.jit(fn)
@@ -102,8 +111,23 @@ class ExecContext:
         `pre` (fn(t, *pre_args) -> t) is a pure row-masking transform (e.g.
         a join's runtime filter) fused INTO the compaction dispatch: every
         jitted call costs a fixed round trip on a relay-attached device, so
-        pre+compact runs as one kernel on the warm path instead of two."""
+        pre+compact runs as one kernel on the warm path instead of two.
+
+        In frozen (whole-query traced) mode the sizes a prior eager run
+        fitted replay as static shapes with their fit flags reported to
+        `overflows` — no host syncs, identical shapes to the warm eager
+        path."""
         from starrocks_tpu.config import CONFIG
+        if self.frozen:
+            ckey = (node.node_id, f"compact:{tag}")
+            m = self.capacities.get(ckey)
+            if pre is not None:
+                t = pre(t, *pre_args)
+            if not m:              # never fitted, or fitted as "don't"
+                return t
+            from starrocks_tpu.column.column import compact_table
+            self.overflows[ckey] = _live_count(t.live_mask()) > m
+            return compact_table(t, m)
         if (not self.eager or not CONFIG.enable_compaction
                 or t.live is None or t.nrows < CONFIG.compaction_min_rows):
             if pre is not None:
@@ -256,15 +280,7 @@ class BlockScan(PlanNode):
             idx = (jnp.asarray(self.blocks, jnp.int32)[:, None] * B
                    + jnp.arange(B, dtype=jnp.int32)[None, :]).reshape(-1)
             inb = idx < n
-            safe = jnp.where(inb, idx, 0)
-            cols = {}
-            for name, c in t.columns.items():
-                cols[name] = Column(c.data[safe],
-                                    None if c.valid is None
-                                    else c.valid[safe] & inb,
-                                    c.dtype, c.dict_id)
-            live = inb if t.live is None else (t.live[safe] & inb)
-            return Table(columns=cols, live=live)
+            return t.gather(jnp.where(inb, idx, 0), idx_valid=inb)
 
         return ctx.op(self, kernel, t)
 
@@ -401,12 +417,12 @@ class HashJoin(PlanNode):
         here, so every kernel/sizing change applies to both paths."""
         from starrocks_tpu.config import CONFIG
         b = ctx.maybe_compact(self, b, tag="cb")
-        if (ctx.eager and CONFIG.enable_runtime_filters
+        if ((ctx.eager or ctx.frozen) and CONFIG.enable_runtime_filters
                 and self.join_type in self._RF_TYPES):
             use_bloom = (CONFIG.enable_bloom_rf
                          and p.nrows >= CONFIG.bloom_rf_min_probe_rows)
             bpk = CONFIG.bloom_rf_bits_per_key
-            if getattr(ctx, "profile", False):
+            if getattr(ctx, "profile", False) and not ctx.frozen:
                 before = int(_live_count(p.live_mask()))
                 p = ctx.op(self,
                            lambda p, b: self._rf_kernel(p, b, use_bloom, bpk),
@@ -516,9 +532,15 @@ class HashJoin(PlanNode):
             # NOT IN semantics: drop matches; drop everything if the build
             # set contains a NULL key; drop NULL-key probe rows unless the
             # build set is empty (null-aware-left-anti, hash_joiner.h).
+            from starrocks_tpu.ops import merge_join
             probe_cols, build_cols = self._keys(p, b)
-            bt = hj.build(build_cols, b.live_mask(), cap)
-            matched, _, povf = hj.lookup(bt, probe_cols, p.live_mask())
+            if cap >= merge_join.MERGE_THRESHOLD:
+                matched, _ = merge_join.merge_lookup(
+                    build_cols, b.live_mask(), probe_cols, p.live_mask())
+                povf = jnp.zeros((), jnp.bool_)
+            else:
+                bt = hj.build(build_cols, b.live_mask(), cap)
+                matched, _, povf = hj.lookup(bt, probe_cols, p.live_mask())
             blive = b.live_mask()
             bnull = jnp.zeros((b.nrows,), jnp.bool_)
             for c in build_cols:
@@ -569,9 +591,11 @@ class HashJoin(PlanNode):
                 return p.filter(~matched), (overflow,)
             else:
                 raise ValueError(self.join_type)
-            for name in self.build_cols:
-                c = b[name].gather(row, add_valid)
-                out = out.with_column(name, c)
+            if self.build_cols:
+                bsel = Table({n2: b[n2] for n2 in self.build_cols},
+                             live=None).gather(row, add_valid)
+                for name in self.build_cols:
+                    out = out.with_column(name, bsel[name])
             if self.join_type in ("right_outer", "full_outer"):
                 out = _append_unmatched_build(out, b, self.build_cols, flags)
             return out, (overflow,)
@@ -579,18 +603,26 @@ class HashJoin(PlanNode):
         return kernel
 
     def _semi_kernel(self, sizes):
+        from starrocks_tpu.ops import merge_join
         (cap,) = sizes
 
         def kernel(p, b):
             probe_cols, build_cols = self._keys(p, b)
-            bt = hj.build(build_cols, b.live_mask(), cap)
-            matched, _, povf = hj.lookup(bt, probe_cols, p.live_mask())
+            if cap >= merge_join.MERGE_THRESHOLD:
+                # large build: sort-merge membership (no table, no scatter)
+                matched, _ = merge_join.merge_lookup(
+                    build_cols, b.live_mask(), probe_cols, p.live_mask())
+                povf = jnp.zeros((), jnp.bool_)
+            else:
+                bt = hj.build(build_cols, b.live_mask(), cap)
+                matched, _, povf = hj.lookup(bt, probe_cols, p.live_mask())
             keep = matched if self.join_type == "semi" else ~matched
             return p.filter(keep), (povf,)
 
         return kernel
 
     def _rsemi_kernel(self, sizes):
+        from starrocks_tpu.ops import merge_join
         (pcap,) = sizes
 
         def kernel(p, b):
@@ -598,8 +630,13 @@ class HashJoin(PlanNode):
             # chain heads: match from the build side instead (symmetric probe
             # into a probe-keys table).
             probe_cols, build_cols = self._keys(p, b)
-            pt = hj.build(probe_cols, p.live_mask(), pcap)
-            bmatched, _, povf = hj.lookup(pt, build_cols, b.live_mask())
+            if pcap >= merge_join.MERGE_THRESHOLD:
+                bmatched, _ = merge_join.merge_lookup(
+                    probe_cols, p.live_mask(), build_cols, b.live_mask())
+                povf = jnp.zeros((), jnp.bool_)
+            else:
+                pt = hj.build(probe_cols, p.live_mask(), pcap)
+                bmatched, _, povf = hj.lookup(pt, build_cols, b.live_mask())
             keep = bmatched if self.join_type == "right_semi" else ~bmatched
             return b.filter(keep), (povf,)
 
@@ -619,14 +656,12 @@ class HashJoin(PlanNode):
                 out = p.gather(pi, None if self.join_type == "full_outer" else ok)
                 if self.join_type == "inner":
                     out = out.with_live(out.live_mask() & ok)
-                    for name in self.build_cols:
-                        out = out.with_column(name, b[name].gather(bi))
+                    out = _with_gathered(out, b, self.build_cols, bi)
                     return out, flags2
                 flags = hj.build_match_flags(bi, ok, b.nrows)
                 if self.join_type == "right_outer":
                     out = out.with_live(out.live_mask() & ok)
-                    for name in self.build_cols:
-                        out = out.with_column(name, b[name].gather(bi))
+                    out = _with_gathered(out, b, self.build_cols, bi)
                 else:  # full_outer: keep unmatched probe rows (k=0 lane) w/ NULLs
                     first_lane = (jnp.arange(pi.shape[0]) % fanout) == 0
                     probe_matched, _, _ = hj.lookup(bt, probe_cols,
@@ -634,8 +669,7 @@ class HashJoin(PlanNode):
                     keep = ok | (first_lane
                                  & ~probe_matched[jnp.clip(pi, 0, p.nrows - 1)])
                     out = out.with_live(out.live_mask() & keep)
-                    for name in self.build_cols:
-                        out = out.with_column(name, b[name].gather(bi, ok))
+                    out = _with_gathered(out, b, self.build_cols, bi, ok)
                 return (_append_unmatched_build(out, b, self.build_cols, flags),
                         flags2)
             if self.join_type == "left_outer":
@@ -645,8 +679,7 @@ class HashJoin(PlanNode):
                 probe_matched, _, _ = hj.lookup(bt, probe_cols, p.live_mask())
                 keep = ok | (first_lane & ~probe_matched[pi])
                 out = out.with_live(out.live_mask() & keep)
-                for name in self.build_cols:
-                    out = out.with_column(name, b[name].gather(bi, ok))
+                out = _with_gathered(out, b, self.build_cols, bi, ok)
                 return out, flags2
             raise ValueError(self.join_type)
 
@@ -804,13 +837,21 @@ class GroupConcat(PlanNode):
             out = Column.from_numpy(np.asarray([s], object), dt.STRING,
                                     valid=np.asarray([len(vals) > 0]))
             return Table(columns={self.out: out})
-        # group id per row: np.unique over (key data + validity) tuples
+        # group id per row: np.unique over (key data + validity) tuples.
+        # NULL keys canonicalize their payload to 0 first so every NULL
+        # collapses to ONE group regardless of the dead data underneath
+        # (hash_agg treats NULL==NULL; a CASE/nullif-derived key leaves
+        # arbitrary bytes under invalid rows)
         keycols = [t[k] for k in self.keys]
         stack = []
         for kc in keycols:
-            stack.append(np.asarray(kc.data))
+            kd = np.asarray(kc.data)
             if kc.valid is not None:
-                stack.append(np.asarray(kc.valid).astype(np.int8))
+                kv = np.asarray(kc.valid)
+                stack.append(np.where(kv, kd, np.zeros((), kd.dtype)))
+                stack.append(kv.astype(np.int8))
+            else:
+                stack.append(kd)
         rows = np.rec.fromarrays(stack)
         uniq, inv = np.unique(rows[live], return_inverse=True)
         g = len(uniq)
@@ -908,17 +949,37 @@ class SetOp(PlanNode):
 
         def kernel(lt, rt):
             # intersect/except: distinct left, then semi/anti join on all cols
+            from starrocks_tpu.ops import merge_join as _mj
             lnames, lcols, rcols = self._prep(lt, rt)
             ltab = Table(columns=lcols, live=lt.live)
             rtab = Table(columns=rcols, live=rt.live)
             dl = _ha.groupby(ltab, tuple(lnames), ())
-            bt = _hj.build([rtab[n] for n in lnames], rtab.live_mask(), cap)
-            matched, _, povf = _hj.lookup(bt, [dl[n] for n in lnames],
-                                          dl.live_mask())
+            if cap >= _mj.MERGE_THRESHOLD:
+                matched, _ = _mj.merge_lookup(
+                    [rtab[n] for n in lnames], rtab.live_mask(),
+                    [dl[n] for n in lnames], dl.live_mask())
+                povf = jnp.zeros((), jnp.bool_)
+            else:
+                bt = _hj.build([rtab[n] for n in lnames], rtab.live_mask(),
+                               cap)
+                matched, _, povf = _hj.lookup(bt, [dl[n] for n in lnames],
+                                              dl.live_mask())
             keep = matched if self.kind == "intersect" else ~matched
             return dl.filter(keep), (povf,)
 
         return kernel
+
+
+def _with_gathered(out: Table, b: Table, names, idx,
+                   idx_valid=None) -> Table:
+    """Attach b[names] rows `idx` to `out` via ONE stacked row gather
+    (Table.gather) instead of one gather per carried column."""
+    if not names:
+        return out
+    g = Table({n: b[n] for n in names}, live=None).gather(idx, idx_valid)
+    for n in names:
+        out = out.with_column(n, g[n])
+    return out
 
 
 def _append_unmatched_build(out: Table, b: Table, build_cols, flags) -> Table:
@@ -982,18 +1043,11 @@ class CrossJoin(PlanNode):
             n, m = t.nrows, b.nrows
             li = jnp.repeat(jnp.arange(n, dtype=jnp.int32), m)
             ri = jnp.tile(jnp.arange(m, dtype=jnp.int32), n)
-            cols = {}
-            for name, c in t.columns.items():
-                cols[name] = Column(c.data[li],
-                                    None if c.valid is None else c.valid[li],
-                                    c.dtype, c.dict_id)
-            for name in self.right_cols:
-                c = b[name]
-                cols[name] = Column(c.data[ri],
-                                    None if c.valid is None else c.valid[ri],
-                                    c.dtype, c.dict_id)
-            live = t.live_mask()[li] & b.live_mask()[ri]
-            return Table(columns=cols, live=live)
+            lt = t.gather(li)
+            rt = Table({nm: b[nm] for nm in self.right_cols},
+                       live=b.live).gather(ri)
+            live = lt.live_mask() & rt.live_mask()
+            return Table(columns={**lt.columns, **rt.columns}, live=live)
 
         return ctx.op(self, kernel, t, b)
 
@@ -1073,15 +1127,49 @@ class Limit(PlanNode):
         return ctx.op(self, kernel, t)
 
 
-def execute(plan: PlanNode, tables: dict[str, Table], max_retries: int = None) -> Table:
-    """Operator-at-a-time eager execution: each node runs as its own jitted
-    module (module docstring explains why).
+def _plan_traceable(plan: PlanNode) -> bool:
+    """Can the whole plan run inside one traced program? (GroupConcat
+    finalizes on host and is the one non-traceable node.)"""
+    return all(not isinstance(n, GroupConcat) for n in plan.walk())
 
-    Cold runs converge capacities with per-node sync-retry (compile time
-    dominates anyway). Warm runs dispatch every node asynchronously, then
-    validate ALL deferred overflow/fit flags in ONE host round trip; if any
-    fired (the data changed under a cached size), the stale entries are
-    dropped and the query reruns with fresh fitting."""
+
+def _build_frozen_fn(plan: PlanNode, caps: dict):
+    """jit the whole plan with frozen converged sizes. Returns (fn, keys):
+    fn(tables) -> (Table, bool[len(keys)] flags); `keys` (filled at trace
+    time) name each flag's capacity entry so the caller can drop stale ones."""
+    frozen_caps = dict(caps)
+    keys: list = []
+
+    def run_fn(tabs):
+        ctx = ExecContext(tabs, dict(frozen_caps), eager=False, frozen=True)
+        out = plan.run(ctx)
+        keys.clear()
+        keys.extend(ctx.overflows.keys())
+        if ctx.overflows:
+            flags = jnp.stack([jnp.any(f) for f in ctx.overflows.values()])
+        else:
+            flags = jnp.zeros((0,), jnp.bool_)
+        return out, flags
+
+    return jax.jit(run_fn), keys
+
+
+def execute(plan: PlanNode, tables: dict[str, Table], max_retries: int = None) -> Table:
+    """Eager-then-frozen execution.
+
+    Cold runs are operator-at-a-time eager: each node is its own jitted
+    module (module docstring explains why), converging capacities with
+    per-node sync-retry (compile time dominates anyway). Once a run
+    converges, later runs execute the WHOLE plan as one jitted module with
+    the converged sizes frozen in (the reference runs a fragment as one
+    driver hot loop, be/src/exec/pipeline/pipeline_driver.cpp:246-360;
+    SURVEY §7 demands one jitted program per fragment) — on a
+    dispatch-latency-bound link this turns ~30 per-operator round trips
+    into one dispatch plus one flag readback. If any frozen-size flag fires
+    (data changed under a cached size) the stale entries drop and the query
+    reruns eagerly with fresh fitting; if the fused module fails to compile
+    (some TPU compilers reject compositions that compile fine separately)
+    the plan permanently falls back to eager execution."""
     from starrocks_tpu.config import CONFIG
     if max_retries is None:
         max_retries = CONFIG.max_capacity_retries
@@ -1090,7 +1178,32 @@ def execute(plan: PlanNode, tables: dict[str, Table], max_retries: int = None) -
     for node in plan.walk():
         for c in node.children():
             refcounts[c.node_id] = refcounts.get(c.node_id, 0) + 1
+    use_frozen = (CONFIG.enable_whole_query_jit
+                  and getattr(plan, "_converged", False)
+                  and not getattr(plan, "_frozen_off", False)
+                  and _plan_traceable(plan))
     for _ in range(max_retries):
+        if use_frozen:
+            key = tuple(sorted(caps.items(), key=repr))
+            cache = plan.__dict__.setdefault("_frozen_jits", {})
+            try:
+                if key not in cache:
+                    cache[key] = _build_frozen_fn(plan, caps)
+                fn, fkeys = cache[key]
+                out, flags = fn(tables)
+                flags = jax.device_get(flags)
+            except Exception as e:
+                plan._frozen_off = True
+                plan._frozen_err = e       # diagnosable: why eager fallback
+                use_frozen = False
+                continue
+            bad = [k for k, f in zip(fkeys, flags) if bool(f)]
+            if not bad:
+                return out
+            for k in bad:
+                caps.pop(k, None)
+            use_frozen = False      # refit eagerly; frozen again next call
+            continue
         ctx = ExecContext(tables, caps, eager=True)
         ctx.refcounts = refcounts
         out = plan.run(ctx)
@@ -1104,6 +1217,7 @@ def execute(plan: PlanNode, tables: dict[str, Table], max_retries: int = None) -
             ctx.capacities.pop(k, None)
         caps = ctx.capacities
     plan._converged_caps = dict(ctx.capacities)
+    plan._converged = True
     return out
 
 

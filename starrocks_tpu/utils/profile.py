@@ -129,7 +129,13 @@ def explain_analyze(plan: PlanNode, tables, capacities: Optional[dict] = None):
         return out
 
     result = run(plan)
-    return result, profiles[id(plan)]
+    root = profiles[id(plan)]
+    # per-operator eager execution dispatches one (or a few) jitted modules
+    # per node; the production warm path fuses the converged plan into ONE
+    # module (exec.plan.execute frozen path), so report both numbers
+    root.detail += (f" dispatches={getattr(ctx, 'dispatches', 0)}"
+                    " (warm frozen path: 1)")
+    return result, root
 
 
 def capture_trace(fn, trace_dir: str):

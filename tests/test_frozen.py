@@ -1,0 +1,72 @@
+"""Whole-query frozen execution (exec.plan.execute warm path).
+
+The reference runs a fragment as one pipeline-driver hot loop
+(be/src/exec/pipeline/pipeline_driver.cpp:246-360); here the converged plan
+re-executes as ONE jitted module. These tests pin: (a) the frozen run
+produces the same rows as the eager run, (b) the frozen path actually
+engages, (c) a frozen-size overflow (data grew under a cached capacity)
+falls back to eager refitting and still returns correct rows, (d)
+non-traceable plans (GroupConcat) stay on the eager path.
+"""
+
+import pytest
+
+from starrocks_tpu.config import set_config
+from starrocks_tpu.exec import plan as P
+from starrocks_tpu.exec import tpch_plans
+from starrocks_tpu.exec.session import Session
+from starrocks_tpu.golden import tpch_queries as golden
+from starrocks_tpu.io import tpch
+
+from tests.test_tpch_suite import assert_rows_equal
+
+
+@pytest.mark.parametrize("q", ["q1", "q3", "q13", "q17"])
+def test_frozen_matches_eager(tpch_tables, q):
+    plan = tpch_plans.build(q, 0.01)
+    cold = P.execute(plan, tpch_tables).to_pandas()
+    assert getattr(plan, "_converged", False)
+    warm = P.execute(plan, tpch_tables).to_pandas()
+    assert plan.__dict__.get("_frozen_jits"), \
+        "second run should have taken the whole-query frozen path"
+    assert_rows_equal(warm, cold)
+    # third run reuses the compiled frozen module
+    assert_rows_equal(P.execute(plan, tpch_tables).to_pandas(), cold)
+
+
+def test_frozen_overflow_falls_back(tpch_tables):
+    # converge on small data, then run the SAME plan on 4x data: frozen
+    # capacities overflow, flags fire, and the eager refit still answers
+    plan = tpch_plans.build("q3", 0.01)
+    P.execute(plan, tpch_tables)
+    P.execute(plan, tpch_tables)
+    assert plan.__dict__.get("_frozen_jits")
+    big_raw = tpch.generate(sf=0.04, seed=4)
+    big = tpch.to_tables(big_raw)
+    out = P.execute(plan, big).to_pandas()
+    assert_rows_equal(out, golden.run("q3", tpch.to_pandas(big_raw)))
+
+
+def test_frozen_disabled_config(tpch_tables):
+    set_config(enable_whole_query_jit=False)
+    try:
+        plan = tpch_plans.build("q6", 0.01)
+        P.execute(plan, tpch_tables)
+        P.execute(plan, tpch_tables)
+        assert not plan.__dict__.get("_frozen_jits")
+    finally:
+        set_config(enable_whole_query_jit=True)
+
+
+def test_group_concat_stays_eager(tpch_tables):
+    sess = Session(dict(tpch_tables))
+    set_config(enable_result_cache=False)
+    try:
+        sql = ("select l_linestatus, group_concat(l_returnflag) gc "
+               "from lineitem where l_orderkey < 10 "
+               "group by l_linestatus order by l_linestatus")
+        a = sess.sql(sql)
+        b = sess.sql(sql)
+        assert (a["gc"] == b["gc"]).all()
+    finally:
+        set_config(enable_result_cache=True)
