@@ -64,4 +64,11 @@ if _cache_dir != "0":
                       os.path.join(_cache_dir, _machine_tag()))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# Resolve the float64-bitcast capability probe BEFORE any engine tracing:
+# the probe compiles a tiny throwaway module, which must happen outside jit
+# (ops/float_bits.py docstring).
+from starrocks_tpu.ops import float_bits as _float_bits  # noqa: E402
+
+_float_bits.f64_bitcast_ok()
+
 __version__ = "0.1.0"

@@ -22,9 +22,11 @@ serves both consumers:
   (measured on v5e via the axon remote-compile helper; the stored pair keeps
   the subnormal, arithmetic cannot read it back).
 
-The probe runs lazily at first use. Calling it inside an outer jit trace is
-safe: the probe's own jit call sees concrete arrays, so it executes for real
-rather than inlining into the surrounding trace.
+The probe runs at package import (starrocks_tpu/__init__) and wraps its
+body in jax.ensure_compile_time_eval(): invoking a jit on concrete arrays
+from INSIDE another trace raises in jax 0.9, and the except clause would
+silently select the (lossy on real-f64 backends) pair fallback — observed
+as ~1e-15-relative perturbation of gathered float columns under pytest.
 """
 
 from __future__ import annotations
@@ -45,9 +47,9 @@ def f64_bitcast_ok() -> bool:
     global _F64_BITCAST_OK
     if _F64_BITCAST_OK is None:
         try:
-            f = jax.jit(
-                lambda x: jax.lax.bitcast_convert_type(x, jnp.uint64))
-            np.asarray(f(jnp.zeros((8,), jnp.float64)))
+            with jax.ensure_compile_time_eval():
+                np.asarray(jax.lax.bitcast_convert_type(
+                    jnp.zeros((8,), jnp.float64), jnp.uint64))
             _F64_BITCAST_OK = True
         except Exception:
             _F64_BITCAST_OK = False
