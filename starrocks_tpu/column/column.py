@@ -182,11 +182,89 @@ class Table:
         return Table(columns=cols, live=self.live)
 
     def gather(self, idx: jax.Array, idx_valid: Optional[jax.Array] = None) -> "Table":
-        cols = {n: c.gather(idx, idx_valid) for n, c in self.columns.items()}
+        """Row gather of the WHOLE table as ONE stacked (N, lanes) uint64
+        gather. Measured on v5e: XLA lowers each 1-D gather to ~15ns/index
+        regardless of table size (~125ms for 8M rows), and k separate
+        column gathers cost k times that — while a (N, k) row gather costs
+        one index walk with ~27ms per added lane. Every column's data is
+        packed to a u64 lane (ints sign-wrap; floats via ops/float_bits so
+        no 64-bit float bitcast is needed); all validity bits and the live
+        mask share bit-packed flag lanes. This is the engine's single
+        data-movement primitive — compaction, sort payload application and
+        join carries all funnel through it."""
+        safe = jnp.clip(idx, 0, self.nrows - 1)
+        from starrocks_tpu.ops import float_bits
+
+        lanes: list = []
+        decode: list = []          # (name, kind, src Column)
+        f64_bitcast = None
+        for n, c in self.columns.items():
+            d = c.data
+            if d.dtype == jnp.float64:
+                if f64_bitcast is None:
+                    f64_bitcast = float_bits.f64_bitcast_ok()
+                if f64_bitcast:
+                    lanes.append(jax.lax.bitcast_convert_type(d, jnp.uint64))
+                    decode.append((n, "f64b", c))
+                else:
+                    hi, lo = float_bits.split_pair(d)
+                    u = (jax.lax.bitcast_convert_type(hi, jnp.uint32)
+                         .astype(jnp.uint64) << jnp.uint64(32)) \
+                        | jax.lax.bitcast_convert_type(lo, jnp.uint32
+                                                       ).astype(jnp.uint64)
+                    lanes.append(u)
+                    decode.append((n, "f64p", c))
+            elif d.dtype == jnp.float32:
+                lanes.append(jax.lax.bitcast_convert_type(d, jnp.uint32)
+                             .astype(jnp.uint64))
+                decode.append((n, "f32", c))
+            else:                   # ints / bools / dates / decimals
+                lanes.append(d.astype(jnp.int64).astype(jnp.uint64))
+                decode.append((n, "int", c))
+        # flag lanes: every column's validity + the live mask, 64 bits each
+        flags: list = [c.valid for c in self.columns.values()
+                       if c.valid is not None]
+        nvalid = len(flags)
+        if self.live is not None:
+            flags.append(self.live)
+        for base in range(0, len(flags), 64):
+            lane = jnp.zeros(self.nrows, jnp.uint64)
+            for i, f in enumerate(flags[base:base + 64]):
+                lane = lane | (f.astype(jnp.uint64) << jnp.uint64(i))
+            lanes.append(lane)
+        g = jnp.stack(lanes, axis=1)[safe, :]
+
+        def fbit(i):
+            lane = g[:, len(decode) + i // 64]
+            return ((lane >> jnp.uint64(i % 64)) & jnp.uint64(1)) != 0
+
+        cols = {}
+        vi = 0
+        for j, (n, kind, c) in enumerate(decode):
+            u = g[:, j]
+            if kind == "f64b":
+                data = jax.lax.bitcast_convert_type(u, jnp.float64)
+            elif kind == "f64p":
+                hi = jax.lax.bitcast_convert_type(
+                    (u >> jnp.uint64(32)).astype(jnp.uint32), jnp.float32)
+                lo = jax.lax.bitcast_convert_type(
+                    u.astype(jnp.uint32), jnp.float32)
+                data = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+            elif kind == "f32":
+                data = jax.lax.bitcast_convert_type(
+                    u.astype(jnp.uint32), jnp.float32)
+            else:
+                data = u.astype(jnp.int64).astype(c.data.dtype)
+            valid = None
+            if c.valid is not None:
+                valid = fbit(vi)
+                vi += 1
+            if idx_valid is not None:
+                valid = idx_valid if valid is None else (valid & idx_valid)
+            cols[n] = Column(data, valid, c.dtype, c.dict_id, c.vrange)
         live = None
         if self.live is not None:
-            safe = jnp.clip(idx, 0, self.nrows - 1)
-            live = self.live[safe]
+            live = fbit(nvalid)
             if idx_valid is not None:
                 live = live & idx_valid
         elif idx_valid is not None:
@@ -333,9 +411,8 @@ def _compact_live(table: Table):
     live = table.live_mask()
     perm = fs.argsort_packed(
         jnp.where(live, jnp.uint64(0), jnp.uint64(1)), 1)
-    cols = {n: c.gather(perm) for n, c in table.columns.items()}
-    return (Table(columns=cols, live=None),
-            jnp.sum(live.astype(jnp.int32)))
+    out = table.with_live(None).gather(perm)
+    return out, jnp.sum(live.astype(jnp.int32))
 
 
 def compact_table(table: Table, m: int) -> Table:
@@ -351,9 +428,7 @@ def compact_table(table: Table, m: int) -> Table:
     live = table.live_mask()
     perm = fs.argsort_packed(
         jnp.where(live, jnp.uint64(0), jnp.uint64(1)), 1)
-    idx = perm[:m]
-    cols = {n: c.gather(idx) for n, c in table.columns.items()}
-    return Table(columns=cols, live=live[idx])
+    return table.gather(perm[:m])
 
 
 def concat_tables(a: Table, b: Table) -> Table:

@@ -93,6 +93,28 @@ def pack_budget(n: int) -> int:
     return 63 - _rowid_bits(n)
 
 
+def stable_argsort_with_codes(
+    keys: Sequence[tuple[jnp.ndarray, int]], n: int
+) -> tuple[jnp.ndarray, Optional[jnp.ndarray], int]:
+    """stable_argsort that ALSO returns the sorted key codes when the whole
+    key fits one pass: (perm, sorted_codes | None, key_nbits). Consumers
+    like the sort-merge join derive segment boundaries by adjacent
+    comparison of sorted_codes — which would otherwise cost one full
+    gather (d[perm]) per key column, the single most expensive op class on
+    this hardware (~15ns/element on v5e vs ~2ns for a sort lane)."""
+    budget = pack_budget(n)
+    total = sum(nb for _, nb in keys)
+    if total <= budget:
+        packed = jnp.zeros((n,), _U)
+        for codes, nbits in keys:        # most-significant first
+            packed = (packed << _U(nbits)) | codes.astype(_U)
+        rb = _rowid_bits(n)
+        s = sort_packed((packed << _U(rb)) | jnp.arange(n, dtype=_U))
+        perm = (s & _U((1 << rb) - 1)).astype(jnp.int32)
+        return perm, s >> _U(rb), total
+    return stable_argsort(keys, n), None, total
+
+
 def stable_argsort(keys: Sequence[tuple[jnp.ndarray, int]], n: int) -> jnp.ndarray:
     """Stable argsort by (codes, nbits) keys, most-significant first.
 

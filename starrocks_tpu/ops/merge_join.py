@@ -66,8 +66,10 @@ def merge_lookup(
     from starrocks_tpu.ops import fast_sort as fs
 
     part_live = jnp.concatenate([bl, pl])
-    # sort (dead, keys..., tag) via bit-packed passes (fast_sort docstring:
-    # a variadic 1-D lax.sort costs minutes of TPU compile time)
+    # sort (dead, keys...) via bit-packed passes (fast_sort docstring:
+    # a variadic 1-D lax.sort costs minutes of TPU compile time). No tag
+    # key: build rows occupy positions < nb of the concatenation, so the
+    # STABLE rowid tiebreak already orders build before probe within a run.
     norm: list = [(jnp.where(part_live, jnp.uint64(0), jnp.uint64(1)), 1)]
     key_datas = []
     for bc, pc in zip(build_cols, probe_cols):
@@ -76,31 +78,40 @@ def merge_lookup(
         merged = Column(data, None, bc.dtype, bc.dict_id,
                         _merge_vrange(bc, pc))
         norm.extend(fs.normalize_keys(merged))
-    tag = jnp.concatenate([
-        jnp.zeros((nb,), jnp.int32), jnp.ones((np_,), jnp.int32)])
-    rowid = jnp.concatenate([
-        jnp.arange(nb, dtype=jnp.int32), jnp.arange(np_, dtype=jnp.int32)])
-    norm.append((tag.astype(jnp.uint64), 1))
 
-    perm = fs.stable_argsort(norm, n)
-    s_dead = ~part_live[perm]
-    s_live = ~s_dead
-    s_tag = tag[perm]
-    s_rid = rowid[perm]
+    perm, codes, _ = fs.stable_argsort_with_codes(norm, n)
+    is_probe = perm >= nb
+    s_rid = jnp.where(is_probe, perm - nb, perm).astype(jnp.int32)
+    s_live = part_live[perm] if codes is None else ~_dead_bit(codes, norm)
+    if codes is not None:
+        # run starts by adjacent code compare — zero gathers
+        start = jnp.concatenate([
+            jnp.ones((1,), jnp.bool_), codes[1:] != codes[:-1]])
+    else:
+        start = su.segment_starts_from_neq(
+            (~s_live, None), *[(d[perm], None) for d in key_datas])
 
-    # key-run starts (tag excluded: build+probe with equal keys share a run;
-    # the live flag participates — dead-row bytes are arbitrary)
-    start = su.segment_starts_from_neq(
-        (s_dead, None), *[(d[perm], None) for d in key_datas])
-
-    bval = jnp.where((s_tag == 0) & s_live, s_rid, jnp.int32(-1))
+    bval = jnp.where(~is_probe & s_live, s_rid, jnp.int32(-1))
     prop = su.seg_scan(
         lambda a, b: jnp.where(b >= 0, b, a), start, bval, jnp.int32(-1))
 
-    is_probe = s_tag == 1
     matched_s = s_live & is_probe & (prop >= 0)
-    idx = jnp.where(is_probe, s_rid, np_)  # build entries dropped
-    matched = jnp.zeros((np_,), jnp.bool_).at[idx].set(matched_s, mode="drop")
-    build_row = jnp.zeros((np_,), jnp.int32).at[idx].set(
-        jnp.where(prop >= 0, prop, 0), mode="drop")
+    # return to probe row order WITHOUT scatters (XLA scatter runs ~140ns
+    # per update on v5e — one more packed sort is ~5x cheaper): pack
+    # (probe rowid | matched | build_row) and sort; build entries carry
+    # rowid np_ and fall off the tail.
+    rb = fs._bl(max(nb - 1, 1))
+    idx = jnp.where(is_probe, s_rid, np_).astype(jnp.uint64)
+    code2 = ((idx << jnp.uint64(rb + 1))
+             | (matched_s.astype(jnp.uint64) << jnp.uint64(rb))
+             | jnp.where(prop >= 0, prop, 0).astype(jnp.uint64))
+    s2 = fs.sort_packed(code2)[:np_]
+    matched = ((s2 >> jnp.uint64(rb)) & jnp.uint64(1)) != 0
+    build_row = (s2 & jnp.uint64((1 << rb) - 1)).astype(jnp.int32)
     return matched, build_row
+
+
+def _dead_bit(codes: jnp.ndarray, norm) -> jnp.ndarray:
+    """The dead-last flag is norm[0] (most significant key bit)."""
+    total = sum(nb for _, nb in norm)
+    return ((codes >> jnp.uint64(total - 1)) & jnp.uint64(1)) != 0
