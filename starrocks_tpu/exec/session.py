@@ -49,7 +49,15 @@ class Session:
         if self.mesh is not None:
             from starrocks_tpu.parallel import dist as D
             D.annotate_skew(plan, self.catalog, self.mesh.devices.size)
-            return D.dist_execute(plan, self._dist_tables, self.mesh)
+            try:
+                return D.dist_execute(plan, self._dist_tables, self.mesh)
+            except NotImplementedError:
+                # nodes without a distributed path (e.g. host-finalized
+                # group_concat) fall back to single-chip execution over the
+                # session's retained host-placed tables — the coordinator
+                # choosing a 1-instance fragment, not an error
+                from starrocks_tpu.exec.plan import execute
+                return execute(plan, self.tables)
         from starrocks_tpu.exec.stream import HostTable, stream_execute
         if any(isinstance(t, HostTable) for t in self.tables.values()):
             # out-of-core: host-RAM tables stream through the chip blockwise

@@ -189,6 +189,11 @@ _PARTIAL = {"sum": "sum", "count": "sum", "count_star": "sum", "min": "min",
 _RIGHT_FAMILY = ("right_semi", "right_anti", "right_outer", "full_outer")
 
 
+# trace-time record of each Aggregate node's chosen exchange strategy
+# (observable by tests and EXPLAIN; keyed by node_id, overwritten per trace)
+AGG_STRATEGY: dict[int, str] = {}
+
+
 class DistExecutor:
     def __init__(self, ctx: plan_mod.ExecContext,
                  dist_tables: dict[str, DistTable],
@@ -475,6 +480,21 @@ class DistExecutor:
             return DistTable(
                 hash_agg.groupby(shuffled.table, node.keys, node.aggs),
                 node.keys, False)
+        # streaming pre-agg passthrough decision (the reference's
+        # should_expand_preagg_hash_tables, be/src/exec/aggregator.cpp:770):
+        # when the planner's group estimate says the local pre-agg would
+        # barely reduce (group count ~ row count, e.g. GROUP BY a
+        # near-unique key), skip it — shuffle RAW rows and aggregate once,
+        # one sort instead of two
+        global_rows = dt.table.nrows * jax.lax.axis_size(AXIS)
+        if (node.est_groups
+                >= CONFIG.dist_preagg_passthrough_ratio * global_rows):
+            AGG_STRATEGY[node.node_id] = "passthrough"
+            shuffled = self._shuffle(dt, node.keys, node.node_id, slot=101)
+            return DistTable(
+                hash_agg.groupby(shuffled.table, node.keys, node.aggs),
+                node.keys, False)
+        AGG_STRATEGY[node.node_id] = "two_phase"
         # two-phase (P8): local pre-agg -> shuffle by keys -> merge partial
         # states (the aggregator state-merge analog, aggregator.cpp:858).
         # var/stddev decompose into psum-mergeable moments (s1, s2, n).
@@ -923,6 +943,17 @@ def dist_execute(
     """
     from jax import shard_map
 
+    # pre-trace rejection of nodes with no distributed execution (raising
+    # NotImplementedError from inside the shard_map trace is opaque —
+    # r3 advisor): name the node and the supported path up front
+    unsupported = {n for n in (type(x).__name__ for x in plan.walk())
+                   if not hasattr(DistExecutor, f"_run_{n}")}
+    if unsupported:
+        raise NotImplementedError(
+            f"plan nodes {sorted(unsupported)} have no distributed "
+            "execution; run this query on a single-chip Session "
+            "(mesh=None) instead")
+
     capacities: dict[int, int] = dict(getattr(plan, "_dist_caps", {}))
     jit_cache = getattr(plan, "_dist_jit_cache", None)
     if jit_cache is None:
@@ -976,7 +1007,9 @@ def dist_execute(
         return jax.jit(fn)
 
     sel_args = [jnp.asarray(sels[i][0]) for i in sel_ids]
+    from starrocks_tpu.utils import failpoint
     for _ in range(max_retries):
+        failpoint.hit("dist.execute")
         key = (replicate_result,) + tuple(sorted(capacities.items()))
         if key not in jit_cache:
             jit_cache[key] = make_fn(dict(capacities))

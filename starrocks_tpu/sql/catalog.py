@@ -25,6 +25,25 @@ class ColumnStats:
     # fraction of (sampled) rows holding the most common value — the
     # heavy-hitter signal driving automatic skew-join salting (P13)
     top_freq: float = 0.0
+    # equi-height histogram: sorted bucket upper bounds over the sample
+    # (the reference stores histograms in an internal stats table,
+    # fe/.../sql/optimizer/statistics/Histogram via StatisticsCalculator;
+    # here they feed range-predicate selectivity for join ordering)
+    histogram: Optional[np.ndarray] = None
+    # fraction of NULL rows (sampled)
+    null_frac: float = 0.0
+
+
+HISTOGRAM_BUCKETS = 64
+
+
+def _histogram(d: np.ndarray) -> Optional[np.ndarray]:
+    """Equi-height bucket bounds from a (non-null) sample; None for
+    non-numeric/empty data. selectivity(col <= v) ~= searchsorted(h, v)/len."""
+    if d.dtype.kind not in "iuf" or len(d) == 0:
+        return None
+    qs = np.linspace(0.0, 1.0, HISTOGRAM_BUCKETS + 1)
+    return np.quantile(d.astype(np.float64), qs)
 
 
 @dataclasses.dataclass
@@ -109,9 +128,13 @@ class Catalog:
                             mn, mx = float(d.min()), float(d.max())
                         else:
                             mn = mx = None
+                        nf = (float((~col.valid).mean())
+                              if col.valid is not None else 0.0)
                         stats[cname] = ColumnStats(ndv=max(int(ndv), 1),
                                                    min=mn, max=mx,
-                                                   top_freq=top_freq)
+                                                   top_freq=top_freq,
+                                                   histogram=_histogram(d),
+                                                   null_frac=nf)
                 zone_maps, block_rows = {}, 0
                 if collect_stats and t.nrows >= ZONE_MIN_BLOCKS * ZONE_BLOCK_ROWS:
                     zone_maps, block_rows = _collect_host_zone_maps(t)
@@ -138,12 +161,19 @@ class Catalog:
                     idx_dev = jnp.asarray(
                         np.random.default_rng(0).integers(0, n, sample))
                     gathered = jax.jit(
-                        lambda tt: {c: col.data[idx_dev]
+                        lambda tt: {c: (col.data[idx_dev],
+                                        None if col.valid is None
+                                        else col.valid[idx_dev])
                                     for c, col in tt.columns.items()})(t)
-                    host = {c: np.asarray(v) for c, v in gathered.items()}
+                    host = {c: np.asarray(v) for c, (v, _) in gathered.items()}
+                    hvalid = {c: None if vv is None else np.asarray(vv)
+                              for c, (_, vv) in gathered.items()}
                 else:
                     host = {c: np.asarray(col.data)
                             for c, col in t.columns.items()}
+                    hvalid = {c: None if col.valid is None
+                              else np.asarray(col.valid)
+                              for c, col in t.columns.items()}
                     idx = None
                 for cname, col in t.columns.items():
                     d = host[cname]
@@ -160,9 +190,13 @@ class Catalog:
                         mn, mx = float(d.min()), float(d.max())
                     else:
                         mn = mx = None
+                    v = hvalid.get(cname)
+                    nf = float((~v).mean()) if v is not None else 0.0
                     stats[cname] = ColumnStats(ndv=max(int(ndv), 1),
                                                min=mn, max=mx,
-                                               top_freq=top_freq)
+                                               top_freq=top_freq,
+                                               histogram=_histogram(d),
+                                               null_frac=nf)
             zone_maps, block_rows = {}, 0
             if collect_stats and t.nrows >= ZONE_MIN_BLOCKS * ZONE_BLOCK_ROWS:
                 zone_maps, block_rows = _collect_zone_maps(t)

@@ -40,6 +40,7 @@ from starrocks_tpu.ops.hash_agg import AggSpec
 from starrocks_tpu.ops.sort import SortKey
 from starrocks_tpu.sql import ast
 from starrocks_tpu.sql.catalog import Catalog
+from starrocks_tpu.sql import selectivity
 
 _uid = itertools.count()
 
@@ -67,6 +68,14 @@ class Relation:
     # base table name when this relation is a direct table reference
     # (enables zone-map pruning of pushdown predicates)
     base: Optional[str] = None
+    # row count BEFORE filters (the base table's cardinality) — the
+    # denominator of filter-survival fractions in the join cost model;
+    # None for derived relations (falls back to size)
+    base_rows: Optional[int] = None
+
+    @property
+    def unfiltered_rows(self) -> int:
+        return self.base_rows if self.base_rows else max(self.size, 1)
 
     @property
     def aliases(self):
@@ -513,7 +522,8 @@ class Planner:
         else:
             cmap = {c: c for c in meta.schema}
             uks = list(meta.unique_keys)
-        return Relation(plan, {alias: cmap}, uks, meta.size, base=ref.name)
+        return Relation(plan, {alias: cmap}, uks, meta.size, base=ref.name,
+                        base_rows=meta.size)
 
     # -- main --------------------------------------------------------------------
     def plan_stmt(self, stmt, outer_scope: Optional[Scope] = None) -> Relation:
@@ -639,11 +649,22 @@ class Planner:
                 pending.append((idxs, c))
 
         for i, preds in pushdowns.items():
+            base_size = rels[i].size
+            meta = (self.catalog.get(rels[i].base)
+                    if rels[i].base is not None else None)
             if preds and rels[i].base is not None:
                 rels[i] = self._apply_zone_maps(rels[i], preds)
+            sel = 1.0
             for p in preds:
                 b = Binder(Scope([rels[i]], parent=outer_scope))
-                rels[i] = rels[i].filtered(b.bind(p))
+                rels[i] = rels[i].filtered(b.bind(p), sel=1.0)
+                sel *= selectivity.pred_selectivity(meta, p, fold_const)
+            if preds:
+                # estimate off the base size ONCE (zone-map pruning changed
+                # the scan shape, not the survivor count; per-call flat
+                # guesses double-counted)
+                rels[i] = dataclasses.replace(
+                    rels[i], size=max(1, int(base_size * sel)))
 
         stream = self._join_greedy(rels, edges, pending, outer_scope)
         for jc, r in left_joins:
@@ -863,14 +884,51 @@ class Planner:
                 remaining.discard(b_idx)
                 stream, pending = apply_pending(stream)
                 continue
-            nxt = min(cands, key=lambda k: rels[k].size)
+            # cost-based next choice: the candidate minimizing the
+            # estimated JOIN OUTPUT (ANALYZE rowcounts x filter survival /
+            # key NDV), not merely the smallest build side — the greedy
+            # analog of the reference's memo join-order costing
+            # (QueryOptimizer.java:892, CostModel.java:76,
+            # HashJoinCostModel.java); selective dimensions join first so
+            # later (bigger) joins probe fewer rows
+            nxt = min(cands, key=lambda k: (
+                self._est_join_size(stream, rels[k], cands[k]),
+                rels[k].size))
+            est = self._est_join_size(stream, rels[nxt], cands[nxt])
             stream = self._hash_join(stream, rels[nxt], cands[nxt], "inner")
+            stream = dataclasses.replace(stream, size=est)
             joined.add(nxt)
             remaining.discard(nxt)
             stream, pending = apply_pending(stream)
         if pending:
             raise ValueError(f"unapplied predicates: {[c for _, c in pending]}")
         return stream
+
+    def _est_join_size(self, stream: Relation, build: Relation,
+                       pairs) -> int:
+        """Estimated output rows of stream JOIN build on `pairs`
+        [(stream_col_ast, build_col_ast)]. Unique (FK->PK) builds keep
+        stream cardinality scaled by the build side's filter survival;
+        general joins use the containment estimate |S|x|B|/NDV(keys)."""
+        try:
+            bkeys = [self._plan_col(build, bc) for _, bc in pairs]
+        except Exception:
+            return max(stream.size, build.size)
+        if any(set(uk) <= set(bkeys) for uk in build.unique_keys):
+            surv = min(1.0, build.size / build.unfiltered_rows)
+            return max(1, int(stream.size * surv))
+        ndv, known = 1, False
+        if build.base is not None:
+            meta = self.catalog.get(build.base)
+            for _, bc in pairs:
+                st = meta.stats.get(bc.name)
+                if st is not None:
+                    ndv *= max(st.ndv, 1)
+                    known = True
+        if known:
+            ndv = min(ndv, build.unfiltered_rows)
+            return max(1, int(stream.size * build.size / max(ndv, 1)))
+        return max(stream.size, build.size)
 
     def _disambiguate(self, stream: Relation, build: Relation) -> Relation:
         """Rename build plan columns that collide with stream plan columns
@@ -889,6 +947,7 @@ class Planner:
     def _hash_join(self, stream: Relation, build: Relation, pairs,
                    join_type: str) -> Relation:
         """pairs: [(stream_col_ast, build_col_ast)] (equi keys)."""
+        est = self._est_join_size(stream, build, pairs)
         build = self._disambiguate(stream, build)
         skeys = [self._plan_col(stream, sc) for sc, _ in pairs]
         bkeys = [self._plan_col(build, bc) for _, bc in pairs]
@@ -910,7 +969,7 @@ class Planner:
         for alias, m in build.maps.items():
             maps.setdefault(alias, {}).update(m)
         uks = list(stream.unique_keys) if (b_unique or join_type != "inner") else []
-        return Relation(plan, maps, uks, max(stream.size, build.size))
+        return Relation(plan, maps, uks, est)
 
     def _plan_col(self, rel: Relation, col: ast.Col) -> str:
         pn = rel.lookup(col)

@@ -448,8 +448,17 @@ def test_distributed_ssb_full(mesh):
 # variety: straight joins/aggs, rollup (q18/q36), windows (q51/q67/q89),
 # returns-fact joins, date-correlated subqueries — incl. the fanout-chain
 # shapes that once exploded padded sizes without dist compaction
-TPCDS_DIST_SAMPLE = ["q3", "q7", "q12", "q18", "q19", "q36", "q42", "q43",
-                     "q51", "q52", "q55", "q63", "q68", "q89", "q96", "q98"]
+# >=40 queries (r3 VERDICT ask), deliberately covering: rollup/grouping
+# sets (q18/q22/q27/q36/q67/q70/q77/q86), window functions
+# (q12/q20/q47/q51/q53/q57/q63/q89/q98), outer/anti/exists right-family
+# shapes (q10/q16/q35/q40/q69/q78/q93/q94/q97), multi-join chains the
+# cost-based order reshapes (q17/q25/q29/q64), plus the plain agg/join mix
+TPCDS_DIST_SAMPLE = [
+    "q3", "q7", "q10", "q12", "q15", "q16", "q17", "q18", "q19", "q20",
+    "q22", "q25", "q26", "q27", "q29", "q35", "q36", "q40", "q42", "q43",
+    "q46", "q47", "q51", "q52", "q53", "q55", "q57", "q63", "q64", "q67",
+    "q68", "q69", "q70", "q77", "q78", "q86", "q89", "q93", "q94", "q96",
+    "q97", "q98"]
 
 
 def test_distributed_tpcds_sample(mesh):

@@ -1,6 +1,7 @@
 """group_concat + DISTINCT aggregates composed with GROUPING SETS
 (be/src/exprs/agg/group_concat.h; SplitAggregateRule multi-distinct)."""
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from starrocks_tpu.column import dtypes as dt
@@ -79,3 +80,42 @@ def test_group_concat_with_grouping_sets(sess):
     assert fine.cs.loc[2] == "c,a"
     total = df[df.g.isna()]
     assert total.cs.iloc[0] == "a,b,c"
+
+
+def test_group_concat_null_keys_collapse():
+    """NULL group keys whose dead payloads differ (nullif/CASE-derived
+    keys leave arbitrary bytes under invalid rows) must form ONE group —
+    the r3 advisor's repro: count(*) said 3 but group_concat returned only
+    one member's value. The key column here carries three DIFFERENT dead
+    values (1, 3, 5) under its NULLs."""
+    t = Table(columns={
+        "k": Column(jnp.asarray(np.array([1, 9, 3, 9, 5], np.int64)),
+                    jnp.asarray(np.array([0, 1, 0, 1, 0], bool)),
+                    dt.INT64),
+        "v": Column.from_numpy(np.array(["a", "x", "b", "y", "c"], object),
+                               dt.STRING),
+    })
+    sess = Session({"t": t})
+    df = sess.sql("select k, count(*) c, group_concat(v) gc "
+                  "from t group by k order by k")
+    nulls = df[df.k.isna()]
+    assert len(nulls) == 1
+    assert nulls.c.iloc[0] == 3
+    assert nulls.gc.iloc[0] == "a, b, c"
+
+
+def test_group_concat_on_mesh_session_falls_back_single_chip():
+    """Distributed plans have no GroupConcat path; the coordinator must
+    reject it BEFORE tracing and fall back to single-chip execution (r3
+    advisor: the NotImplementedError used to escape from inside the
+    shard_map trace)."""
+    from starrocks_tpu.parallel import dist as D
+    t = Table(columns={
+        "g": Column.from_numpy(np.array([1, 1, 2, 2], np.int64), dt.INT64),
+        "s": Column.from_numpy(np.array(["a", "b", "c", "d"], object),
+                               dt.STRING),
+    })
+    mesh = D.make_mesh(4)
+    sess = Session({"t": t}, mesh=mesh, partitioning={"t": ("g",)})
+    df = sess.sql("select g, group_concat(s) cs from t group by g order by g")
+    assert list(df.cs) == ["a, b", "c, d"]
