@@ -158,14 +158,28 @@ def run_with_recovery(build_plan, tables, partitioning, meshes,
 
     build_plan: callable returning a FRESH plan (plan objects carry
     per-mesh jit/capacity caches). meshes: primary first, fallbacks after.
+
+    Only infrastructure-class failures retry (jax runtime/XLA errors — the
+    shape a lost device or wedged collective surfaces as). Deterministic
+    failures (planner bugs, bad SQL, capacity non-convergence RuntimeError)
+    re-raise immediately: re-running those on a smaller mesh would only bury
+    the root cause under a misleading "failed on every mesh".
     """
+    import logging
     execute = execute or D.dist_execute
     last = None
+    retryable = (jax.errors.JaxRuntimeError,)
+    from starrocks_tpu.utils import failpoint
     for mesh in meshes:
         try:
+            failpoint.hit("multihost.place_tables")
             dtabs = D.place_tables(tables, mesh, partitioning)
             return execute(build_plan(), dtabs, mesh)
-        except Exception as e:        # noqa: BLE001 — any failure retries
+        except retryable as e:
+            logging.getLogger(__name__).warning(
+                "query failed on %d-device mesh (%s: %s); retrying on the "
+                "next mesh", mesh.devices.size, type(e).__name__,
+                str(e)[:200])
             last = e
             continue
     raise RuntimeError("query failed on every mesh") from last

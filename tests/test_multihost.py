@@ -91,7 +91,8 @@ def test_run_with_recovery_fails_over_to_smaller_mesh():
     def flaky_execute(plan, dtabs, mesh):
         attempts.append(mesh.devices.size)
         if len(attempts) == 1:
-            raise RuntimeError("simulated device loss on the 8-chip mesh")
+            raise jax.errors.JaxRuntimeError(
+                "simulated device loss on the 8-chip mesh")
         return D.dist_execute(plan, dtabs, mesh)
 
     def build_plan():
@@ -116,9 +117,36 @@ def test_run_with_recovery_exhausted_raises():
 
     t = Table(columns={"k": Column.from_numpy(np.arange(10), dt.INT64)})
 
+    import jax
+
     def always_fail(plan, dtabs, mesh):
-        raise RuntimeError("down")
+        raise jax.errors.JaxRuntimeError("down")
 
     with pytest.raises(RuntimeError, match="every mesh"):
         MH.run_with_recovery(lambda: Scan("t"), {"t": t}, {"t": ("k",)},
                              [D.make_mesh(2)], execute=always_fail)
+
+
+def test_run_with_recovery_reraises_deterministic_errors():
+    """Planner/value errors must NOT be retried on smaller meshes (r3
+    advisor: blanket retry buried root causes under 'failed on every
+    mesh')."""
+    import numpy as np
+    from starrocks_tpu.column import dtypes as dt
+    from starrocks_tpu.column.column import Column, Table
+    from starrocks_tpu.exec.plan import Scan
+    from starrocks_tpu.parallel import dist as D
+    from starrocks_tpu.parallel import multihost as MH
+
+    t = Table(columns={"k": Column.from_numpy(np.arange(10), dt.INT64)})
+    attempts = []
+
+    def planner_bug(plan, dtabs, mesh):
+        attempts.append(mesh.devices.size)
+        raise ValueError("unsupported shape in planner")
+
+    with pytest.raises(ValueError, match="unsupported shape"):
+        MH.run_with_recovery(lambda: Scan("t"), {"t": t}, {"t": ("k",)},
+                             [D.make_mesh(4), D.make_mesh(2)],
+                             execute=planner_bug)
+    assert attempts == [4]      # no second-mesh retry
