@@ -43,14 +43,9 @@ def _load_native():
     global _LIB
     if _LIB is not None:
         return _LIB
-    src = _NATIVE_DIR / "csv_parser.cpp"
-    so = _NATIVE_DIR / "libcsvparse.so"
-    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", str(so), str(src)],
-            check=True, capture_output=True)
-    lib = ctypes.CDLL(str(so))
+    from starrocks_tpu.utils.native_build import build_shared
+    lib = ctypes.CDLL(str(build_shared(_NATIVE_DIR / "csv_parser.cpp",
+                                       "libcsvparse")))
     lib.csv_read.restype = ctypes.c_void_p
     lib.csv_read.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
     lib.csv_free.argtypes = [ctypes.c_void_p]

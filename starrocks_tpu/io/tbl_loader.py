@@ -40,14 +40,9 @@ def _load_native():
     global _LIB
     if _LIB is not None:
         return _LIB
-    src = _NATIVE_DIR / "tbl_parser.cpp"
-    so = _NATIVE_DIR / "libtblparse.so"
-    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", str(so), str(src)],
-            check=True, capture_output=True)
-    lib = ctypes.CDLL(str(so))
+    from starrocks_tpu.utils.native_build import build_shared
+    lib = ctypes.CDLL(str(build_shared(_NATIVE_DIR / "tbl_parser.cpp",
+                                       "libtblparse")))
     lib.tbl_read.restype = ctypes.c_void_p
     lib.tbl_read.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
     lib.tbl_free.argtypes = [ctypes.c_void_p]
