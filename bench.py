@@ -3,18 +3,23 @@ line is the headline: TPC-H suite total (comparable to BASELINE.md's
 reference anchor of 21 s for SF100 on a 48-core 3-BE cluster,
 /root/reference/docs/en/benchmarking/TPC-H_Benchmarking.md:62-85).
 
-Metrics emitted (each its own JSON line):
+Metrics emitted (each its own JSON line; every phase is budget-gated and
+failure-isolated so the artifact is ALWAYS complete with rc=0):
   q6_filter_agg_rows_per_s_per_chip  — scan-class microbench w/ raw timings
-  tpch_sf<SF>_q<i>_ms                — per-query wall (one compact line)
+  tpch_sf<SF>_per_query_ms           — per-query wall + compile breakdown
+  ssb_sf<SF>_suite_total             — SSB-Flat 13 queries (992 ms anchor)
+  tpcds_sf<SF>_suite_total           — TPC-DS 99 queries (314 s @1TB anchor)
   ooc_stream_rows_per_s              — out-of-core Q6 over a host-RAM table
   tpch_sf<SF>_suite_total            — HEADLINE (last line)
 
-vs_baseline for the suite total = 21000ms * (SF/100) / ours_ms: >1 means one
+vs_baseline for the TPC-H total = 21000ms * (SF/100) / ours_ms: >1 means one
 chip beats the linearly-scaled 48-core reference cluster at this SF.
 
-Env knobs: BENCH_SF (q6 micro, default 1.0), SUITE_SF (default 1.0),
-BENCH_SUITE=0 / BENCH_OOC=0 to skip sections, BENCH_OOC_SF (default 2.0),
-BENCH_BUDGET_S soft time budget for the suite (default 2400).
+Env knobs: SUITE_SF (tpch, default 1.0), SSB_SF (default 1.0), TPCDS_SF
+(default 0.1), BENCH_OOC_SF (default 2.0), BENCH_SUITE/BENCH_SSB/BENCH_TPCDS/
+BENCH_OOC=0 to skip sections, BENCH_BUDGET_S global wall budget (default
+3000 — generation, compiles and trials all count against it; phases are
+skipped, never truncated mid-JSON, when it runs low).
 """
 
 import json
@@ -24,6 +29,13 @@ import time
 
 import numpy as np
 
+_T0 = time.time()
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.time() - _T0)
+
 
 def _timed(fn):
     t0 = time.perf_counter()
@@ -31,7 +43,20 @@ def _timed(fn):
     return time.perf_counter() - t0
 
 
-def bench_q6_micro():
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def _relay_base():
+    import jax
+    import jax.numpy as jnp
+    x = jnp.zeros((8,), jnp.int32)
+    nop = jax.jit(lambda a: jnp.sum(a))
+    float(nop(x))
+    return min(_timed(lambda: float(nop(x))) for _ in range(5))
+
+
+def bench_q6_micro(lineitem_raw):
     """Q6 filter+agg rows/s with K-iteration subtraction; emits RAW timings
     (t1/tk per trial) so the derivation is auditable (r2 judge ask)."""
     import jax
@@ -40,14 +65,12 @@ def bench_q6_micro():
     from starrocks_tpu.io import tpch
     from starrocks_tpu.column.column import Column, Table
 
-    sf = float(os.environ.get("BENCH_SF", "1.0"))
     kiter = int(os.environ.get("BENCH_ITERS", "32"))
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
 
-    raw = tpch.generate(sf=sf)
     schema = tpch.SCHEMAS["lineitem"]
     cols = ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
-    table = Table(columns={k: Column.from_numpy(raw["lineitem"][k], schema[k])
+    table = Table(columns={k: Column.from_numpy(lineitem_raw[k], schema[k])
                            for k in cols})
     n = table.nrows
 
@@ -86,12 +109,11 @@ def bench_q6_micro():
     t1, tk = min(t1s), min(tks)
     per_iter = max((tk - t1) / kiter, 1e-9)
     rows_per_s = n / per_iter
-    # bytes touched per iteration: 4 operand columns
     bytes_per_row = sum(table[c].data.dtype.itemsize for c in cols)
     gbps = rows_per_s * bytes_per_row / 1e9
 
     baseline_per_core = 223e6  # BASELINE.md derived anchor (SF100 Q6/56ms/48c)
-    print(json.dumps({
+    _emit({
         "metric": "q6_filter_agg_rows_per_s_per_chip",
         "value": round(rows_per_s),
         "unit": "rows/s",
@@ -101,70 +123,131 @@ def bench_q6_micro():
                 "tk_s": [round(t, 6) for t in tks],
                 "bytes_per_row": bytes_per_row,
                 "achieved_GBps": round(gbps, 2)},
-    }), flush=True)
+    })
     return rows_per_s
 
 
-def bench_tpch_suite():
+def _run_suite(session, queries, base, trials, label, order=None,
+               min_remaining=60.0):
+    """Shared suite loop: per query run cold (eager convergence), once more
+    (whole-query frozen compile), then `trials` timed runs. Returns
+    (per_query dict, total_ms, ran, skipped)."""
+    results, meta = {}, {}
+    total, ran, skipped = 0.0, 0, []
+    names = order or list(queries)
+    for name in names:
+        if _remaining() < min_remaining:
+            skipped = [n for n in names if n not in results]
+            print(f"# {label}: budget low, skipping {len(skipped)} queries",
+                  flush=True)
+            break
+        sql = queries[name]
+        try:
+            cold_s = _timed(lambda: session.sql(sql))
+            frozen_s = _timed(lambda: session.sql(sql))
+            best = min(_timed(lambda: session.sql(sql))
+                       for _ in range(trials))
+            ms = max(best - base, 0.0) * 1e3
+        except Exception as e:  # keep the suite going; record the failure
+            print(f"# {label} {name} FAILED: {type(e).__name__} "
+                  f"{str(e)[:120]}", flush=True)
+            results[name] = None
+            continue
+        plan = session.plan(sql)
+        frozen = bool(plan.__dict__.get("_frozen_jits")) \
+            and not getattr(plan, "_frozen_off", False)
+        results[name] = round(ms, 1)
+        meta[name] = {"cold_s": round(cold_s, 1),
+                      "frozen_compile_s": round(frozen_s, 1),
+                      "frozen": frozen}
+        total += ms
+        ran += 1
+        print(f"# {label} {name}: {ms:8.1f} ms (cold {cold_s:.1f}s, "
+              f"frozen-compile {frozen_s:.1f}s, frozen={frozen})",
+              flush=True)
+    return results, meta, total, ran, skipped
+
+
+def bench_tpch_suite(raw):
     """Full 22-query TPC-H wall-clock through Session.sql (parse cached,
     result cache off) — the engine-level number the reference's 21 s anchor
     corresponds to."""
     import jax
-    import jax.numpy as jnp
-    from starrocks_tpu.config import set_config
     from starrocks_tpu.io import tpch
     from starrocks_tpu.exec.session import Session
     from starrocks_tpu.sql.tpch_sql import QUERIES
 
     sf = float(os.environ.get("SUITE_SF", "1.0"))
     trials = int(os.environ.get("SUITE_TRIALS", "2"))
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
-    set_config(enable_result_cache=False)
-
-    t0 = time.time()
-    raw = tpch.generate(sf=sf)
     tables = tpch.to_tables(raw)
     for t in tables.values():
         jax.block_until_ready([c.data for c in t.columns.values()])
-    print(f"# tpch sf={sf} generated+uploaded in {time.time()-t0:.1f}s",
+    session = Session(tables)
+    base = _relay_base()
+    order = [f"q{i}" for i in range(1, 23)]
+    results, meta, total, ran, skipped = _run_suite(
+        session, QUERIES, base, trials, f"tpch sf{sf}", order)
+    _emit({"metric": f"tpch_sf{sf}_per_query_ms", "value": results,
+           "unit": "ms", "relay_roundtrip_ms": round(base * 1e3, 2),
+           "trials": trials, "compile": meta, "skipped": skipped})
+    del tables, session
+    return sf, total, ran
+
+
+def bench_ssb():
+    """SSB-Flat 13 queries (992 ms cluster anchor,
+    docs/en/benchmarking/SSB_Benchmarking.md:9-12)."""
+    import jax
+    from starrocks_tpu.io import ssb
+    from starrocks_tpu.exec.session import Session
+    from starrocks_tpu.sql.ssb_sql import QUERIES
+
+    sf = float(os.environ.get("SSB_SF", "1.0"))
+    trials = int(os.environ.get("SUITE_TRIALS", "2"))
+    t0 = time.time()
+    raw = ssb.generate_flat(sf=sf)
+    table = ssb.to_table(raw)
+    jax.block_until_ready([c.data for c in table.columns.values()])
+    print(f"# ssb sf={sf} generated+uploaded in {time.time()-t0:.1f}s",
+          flush=True)
+    session = Session({"lineorder_flat": table})
+    base = _relay_base()
+    results, meta, total, ran, skipped = _run_suite(
+        session, QUERIES, base, trials, f"ssb sf{sf}")
+    ref_ms = 992.0 * (sf / 100.0)
+    _emit({"metric": f"ssb_sf{sf}_suite_total", "value": round(total),
+           "unit": "ms", "queries_timed": ran, "per_query_ms": results,
+           "skipped": skipped,
+           "vs_baseline": round(ref_ms / max(total, 1e-9), 3)})
+
+
+def bench_tpcds():
+    """TPC-DS 99 queries (314 s @ 1TB shared-nothing anchor,
+    docs/en/benchmarking/TPC_DS_Benchmark.md:14-17)."""
+    import jax
+    from starrocks_tpu.io import tpcds
+    from starrocks_tpu.exec.session import Session
+    from starrocks_tpu.sql.tpcds_sql import QUERIES
+
+    sf = float(os.environ.get("TPCDS_SF", "0.1"))
+    trials = int(os.environ.get("SUITE_TRIALS", "2"))
+    t0 = time.time()
+    raw = tpcds.generate(sf=sf)
+    tables = tpcds.to_tables(raw)
+    for t in tables.values():
+        jax.block_until_ready([c.data for c in t.columns.values()])
+    print(f"# tpcds sf={sf} generated+uploaded in {time.time()-t0:.1f}s",
           flush=True)
     session = Session(tables)
-
-    # relay round-trip baseline (subtracted from each query)
-    x = jnp.zeros((8,), jnp.int32)
-    nop = jax.jit(lambda a: jnp.sum(a))
-    float(nop(x))
-    base = min(_timed(lambda: float(nop(x))) for _ in range(5))
-
-    start = time.time()
-    results = {}
-    total = 0.0
-    ran = 0
-    for i in range(1, 23):
-        name = f"q{i}"
-        sql = QUERIES[name]
-        try:
-            compile_s = _timed(lambda: session.sql(sql))
-            best = min(_timed(lambda: session.sql(sql)) for _ in range(trials))
-            ms = max(best - base, 0.0) * 1e3
-        except Exception as e:  # keep the suite going; record the failure
-            print(f"# {name} FAILED: {type(e).__name__} {str(e)[:120]}",
-                  flush=True)
-            results[name] = None
-            continue
-        results[name] = round(ms, 1)
-        total += ms
-        ran += 1
-        print(f"# {name}: {ms:8.1f} ms (compile+retries {compile_s:.1f}s)",
-              flush=True)
-        if time.time() - start > budget:
-            print(f"# budget {budget}s exhausted after {name}", flush=True)
-            break
-    print(json.dumps({
-        "metric": f"tpch_sf{sf}_per_query_ms", "value": results,
-        "unit": "ms", "relay_roundtrip_ms": round(base * 1e3, 2),
-        "trials": trials}), flush=True)
-    return sf, total, ran
+    base = _relay_base()
+    order = sorted(QUERIES, key=lambda s: (int(s[1:].rstrip("b")), s))
+    results, meta, total, ran, skipped = _run_suite(
+        session, QUERIES, base, trials, f"tpcds sf{sf}", order)
+    ref_ms = 314_000.0 * (sf / 1000.0)
+    _emit({"metric": f"tpcds_sf{sf}_suite_total", "value": round(total),
+           "unit": "ms", "queries_timed": ran, "per_query_ms": results,
+           "skipped": skipped,
+           "vs_baseline": round(ref_ms / max(total, 1e-9), 3)})
 
 
 def bench_ooc():
@@ -178,6 +261,9 @@ def bench_ooc():
     from starrocks_tpu.sql.tpch_sql import QUERIES
 
     sf = float(os.environ.get("BENCH_OOC_SF", "2.0"))
+    if _remaining() < 420 and sf > 1.0:
+        sf = 1.0          # generation cost scales with SF; keep the line
+        print("# ooc: budget low, shrinking to sf=1.0", flush=True)
     set_config(enable_result_cache=False)
     raw = tpch.generate(sf=sf)
     tables = tpch.to_tables({k: v for k, v in raw.items() if k != "lineitem"})
@@ -189,10 +275,9 @@ def bench_ooc():
     sess.sql(q6)                       # compile + capacity convergence
     best = min(_timed(lambda: sess.sql(q6)) for _ in range(3))
     rows_per_s = n / best
-    print(json.dumps({
-        "metric": "ooc_stream_rows_per_s", "value": round(rows_per_s),
-        "unit": "rows/s", "raw": {"sf": sf, "n_rows": n,
-                                  "best_s": round(best, 4)}}), flush=True)
+    _emit({"metric": "ooc_stream_rows_per_s", "value": round(rows_per_s),
+           "unit": "rows/s", "raw": {"sf": sf, "n_rows": n,
+                                     "best_s": round(best, 4)}})
 
 
 def _device_liveness_probe(timeout_s: float = 180.0) -> bool:
@@ -226,18 +311,38 @@ def main():
             time.sleep(600)
             os.environ["BENCH_RELAY_RETRY"] = "1"
             os.execv(sys.executable, [sys.executable, __file__])
-        print(json.dumps({
-            "metric": "q6_filter_agg_rows_per_s_per_chip", "value": 0,
-            "unit": "rows/s", "vs_baseline": 0.0,
-            "error": "device readback did not complete within 180s "
-                     "(relay D2H path wedged), twice; bench aborted"}),
-            flush=True)
-        os._exit(2)
-    q6 = bench_q6_micro()
-    suite_line = None
-    if os.environ.get("BENCH_SUITE", "1") == "1":
+        _emit({"metric": "q6_filter_agg_rows_per_s_per_chip", "value": 0,
+               "unit": "rows/s", "vs_baseline": 0.0,
+               "error": "device readback did not complete within 180s "
+                        "(relay D2H path wedged), twice; bench aborted"})
+        _emit({"metric": "tpch_sf1.0_suite_total", "value": 0, "unit": "ms",
+               "queries_timed": 0, "vs_baseline": 0.0,
+               "error": "device wedged"})
+        os._exit(0)
+
+    from starrocks_tpu.config import set_config
+    set_config(enable_result_cache=False)
+    from starrocks_tpu.io import tpch
+
+    suite_sf = float(os.environ.get("SUITE_SF", "1.0"))
+    t0 = time.time()
+    raw = tpch.generate(sf=suite_sf)
+    print(f"# tpch sf={suite_sf} generated in {time.time()-t0:.1f}s "
+          f"(budget left {_remaining():.0f}s)", flush=True)
+
+    q6 = 0.0
+    try:
+        q6 = bench_q6_micro(raw["lineitem"])
+    except Exception as e:
+        print(f"# q6 micro failed: {type(e).__name__} {str(e)[:200]}",
+              flush=True)
+
+    suite_line = {"metric": f"tpch_sf{suite_sf}_suite_total", "value": 0,
+                  "unit": "ms", "queries_timed": 0, "vs_baseline": 0.0,
+                  "error": "suite did not run"}
+    if os.environ.get("BENCH_SUITE", "1") == "1" and _remaining() > 300:
         try:
-            sf, total, ran = bench_tpch_suite()
+            sf, total, ran = bench_tpch_suite(raw)
             ref_ms = 21000.0 * (sf / 100.0)   # linear-scaled cluster anchor
             suite_line = {
                 "metric": f"tpch_sf{sf}_suite_total",
@@ -249,19 +354,41 @@ def main():
         except Exception as e:
             print(f"# suite failed: {type(e).__name__} {str(e)[:200]}",
                   flush=True)
-    if os.environ.get("BENCH_OOC", "1") == "1":
+            suite_line["error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    del raw
+
+    if os.environ.get("BENCH_SSB", "1") == "1" and _remaining() > 420:
+        try:
+            bench_ssb()
+        except Exception as e:
+            print(f"# ssb failed: {type(e).__name__} {str(e)[:200]}",
+                  flush=True)
+    else:
+        print(f"# ssb skipped (budget left {_remaining():.0f}s)", flush=True)
+
+    if os.environ.get("BENCH_TPCDS", "1") == "1" and _remaining() > 600:
+        try:
+            bench_tpcds()
+        except Exception as e:
+            print(f"# tpcds failed: {type(e).__name__} {str(e)[:200]}",
+                  flush=True)
+    else:
+        print(f"# tpcds skipped (budget left {_remaining():.0f}s)",
+              flush=True)
+
+    ooc_done = False
+    if os.environ.get("BENCH_OOC", "1") == "1" and _remaining() > 240:
         try:
             bench_ooc()
+            ooc_done = True
         except Exception as e:
             print(f"# ooc bench failed: {type(e).__name__} {str(e)[:200]}",
                   flush=True)
-    if suite_line is not None:
-        print(json.dumps(suite_line), flush=True)
-    else:   # headline fallback: the q6 microbench
-        print(json.dumps({
-            "metric": "q6_filter_agg_rows_per_s_per_chip",
-            "value": round(q6), "unit": "rows/s",
-            "vs_baseline": round(q6 / 223e6, 3)}), flush=True)
+    if not ooc_done:
+        _emit({"metric": "ooc_stream_rows_per_s", "value": 0,
+               "unit": "rows/s", "error": "skipped (budget/flag/failure)"})
+
+    _emit(suite_line)   # HEADLINE: always the last line, always present
 
 
 if __name__ == "__main__":
