@@ -71,4 +71,15 @@ from starrocks_tpu.ops import float_bits as _float_bits  # noqa: E402
 
 _float_bits.f64_bitcast_ok()
 
+# Probe the MXU one-hot gather kernel (TPU backends only: on CPU the
+# pallas kernel would need interpret mode, slower than the plain gather).
+if jax.default_backend() not in ("cpu",):
+    try:
+        from starrocks_tpu.ops import mxu_gather as _mxu_gather
+        from starrocks_tpu.column import column as _column
+
+        _column._MXU_GATHER = _mxu_gather.mxu_gather_available()
+    except Exception:
+        pass
+
 __version__ = "0.1.0"

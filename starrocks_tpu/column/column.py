@@ -232,7 +232,7 @@ class Table:
             for i, f in enumerate(flags[base:base + 64]):
                 lane = lane | (f.astype(jnp.uint64) << jnp.uint64(i))
             lanes.append(lane)
-        g = jnp.stack(lanes, axis=1)[safe, :]
+        g = _gather_lanes_stacked(lanes, safe, self.nrows)
 
         def fbit(i):
             lane = g[:, len(decode) + i // 64]
@@ -337,6 +337,27 @@ class Table:
 
 
 from functools import partial
+
+_MXU_GATHER = False     # set by starrocks_tpu/__init__ after probing
+
+
+def _gather_lanes_stacked(lanes, safe, nrows):
+    """(N_out, L) u64 row gather of the stacked lanes. Small source tables
+    on MXU-capable backends route through the one-hot matmul kernel
+    (ops/mxu_gather.py — measured ~3-25x the XLA gather for dimension-table
+    sized sources); everything else is the plain stacked gather."""
+    from starrocks_tpu.config import CONFIG
+    stacked = jnp.stack(lanes, axis=1)
+    if (_MXU_GATHER and CONFIG.enable_mxu_gather
+            and nrows <= 8192 and safe.shape[0] >= (1 << 17)):
+        from starrocks_tpu.ops import mxu_gather
+        L = stacked.shape[1]
+        k = mxu_gather.LANES_PER_CALL
+        parts = [mxu_gather.gather_lanes(stacked[:, i:i + k],
+                                         safe.astype(jnp.int32))
+                 for i in range(0, L, k)]
+        return jnp.concatenate(parts, axis=1)
+    return stacked[safe, :]
 
 
 @partial(jax.jit, static_argnums=1)

@@ -31,6 +31,9 @@ class EngineConfig:
     # one module per operator — first-order win through a
     # dispatch-latency-bound device link
     enable_whole_query_jit: bool = True
+    # small-source row gathers as MXU one-hot matmuls (ops/mxu_gather.py);
+    # engaged only on backends where the pallas kernel probes OK
+    enable_mxu_gather: bool = True
     # adaptive compaction (eager mode): shrink a table's static shape when a
     # filter proved selective. Costs one live-count readback + one device
     # pass; pays when downstream operators are heavy.

@@ -420,7 +420,8 @@ class HashJoin(PlanNode):
         if ((ctx.eager or ctx.frozen) and CONFIG.enable_runtime_filters
                 and self.join_type in self._RF_TYPES):
             use_bloom = (CONFIG.enable_bloom_rf
-                         and p.nrows >= CONFIG.bloom_rf_min_probe_rows)
+                         and p.nrows >= CONFIG.bloom_rf_min_probe_rows
+                         and b.nrows > _TINY_BUILD_ROWS)
             bpk = CONFIG.bloom_rf_bits_per_key
             if getattr(ctx, "profile", False) and not ctx.frozen:
                 before = int(_live_count(p.live_mask()))
@@ -534,7 +535,8 @@ class HashJoin(PlanNode):
             # build set is empty (null-aware-left-anti, hash_joiner.h).
             from starrocks_tpu.ops import merge_join
             probe_cols, build_cols = self._keys(p, b)
-            if cap >= merge_join.MERGE_THRESHOLD:
+            if (cap >= merge_join.MERGE_THRESHOLD
+                    or p.nrows >= merge_join.MERGE_PROBE_ROWS):
                 matched, _ = merge_join.merge_lookup(
                     build_cols, b.live_mask(), probe_cols, p.live_mask())
                 povf = jnp.zeros((), jnp.bool_)
@@ -563,8 +565,15 @@ class HashJoin(PlanNode):
 
         def kernel(p, b):
             probe_cols, build_cols = self._keys(p, b)
-            if cap >= merge_join.MERGE_THRESHOLD:
-                # large build: sort-merge lookup (no hash table, no overflow)
+            if b.nrows <= _TINY_BUILD_ROWS:
+                matched, row = _tiny_lookup(probe_cols, build_cols,
+                                            b.live_mask())
+                matched = matched & p.live_mask()
+                overflow = jnp.zeros((), jnp.bool_)
+            elif (cap >= merge_join.MERGE_THRESHOLD
+                    or p.nrows >= merge_join.MERGE_PROBE_ROWS):
+                # large input: sort-merge lookup (no hash table, no
+                # overflow, no per-iteration probe gathers)
                 matched, row = merge_join.merge_lookup(
                     build_cols, b.live_mask(), probe_cols, p.live_mask())
                 overflow = jnp.zeros((), jnp.bool_)
@@ -608,8 +617,13 @@ class HashJoin(PlanNode):
 
         def kernel(p, b):
             probe_cols, build_cols = self._keys(p, b)
-            if cap >= merge_join.MERGE_THRESHOLD:
-                # large build: sort-merge membership (no table, no scatter)
+            if b.nrows <= _TINY_BUILD_ROWS:
+                matched, _ = _tiny_lookup(probe_cols, build_cols,
+                                          b.live_mask())
+                povf = jnp.zeros((), jnp.bool_)
+            elif (cap >= merge_join.MERGE_THRESHOLD
+                    or p.nrows >= merge_join.MERGE_PROBE_ROWS):
+                # large input: sort-merge membership (no table, no scatter)
                 matched, _ = merge_join.merge_lookup(
                     build_cols, b.live_mask(), probe_cols, p.live_mask())
                 povf = jnp.zeros((), jnp.bool_)
@@ -630,7 +644,8 @@ class HashJoin(PlanNode):
             # chain heads: match from the build side instead (symmetric probe
             # into a probe-keys table).
             probe_cols, build_cols = self._keys(p, b)
-            if pcap >= merge_join.MERGE_THRESHOLD:
+            if (pcap >= merge_join.MERGE_THRESHOLD
+                    or b.nrows >= merge_join.MERGE_PROBE_ROWS):
                 bmatched, _ = merge_join.merge_lookup(
                     probe_cols, p.live_mask(), build_cols, b.live_mask())
                 povf = jnp.zeros((), jnp.bool_)
@@ -980,6 +995,39 @@ def _with_gathered(out: Table, b: Table, names, idx,
     for n in names:
         out = out.with_column(n, g[n])
     return out
+
+
+_TINY_BUILD_ROWS = 128
+
+
+def _tiny_lookup(probe_cols, build_cols, blive):
+    """Unrolled broadcast-compare lookup for STATICALLY tiny build sides
+    (nation/region-class): M vectorized compares beat both the hash
+    probe loop (whose per-iteration gathers cost ~15ns/probe-row on v5e)
+    and the sort-merge path (two full-width sorts). Returns
+    (matched, build_row) like hash_join.lookup."""
+    n = probe_cols[0].data.shape[0]
+    m = build_cols[0].data.shape[0]
+    pvalid = None
+    for c in probe_cols:
+        if c.valid is not None:
+            pvalid = c.valid if pvalid is None else (pvalid & c.valid)
+    matched = jnp.zeros((n,), jnp.bool_)
+    row = jnp.zeros((n,), jnp.int32)
+    for i in range(m):
+        eq = None
+        ok_i = blive[i]
+        for pc, bc in zip(probe_cols, build_cols):
+            e = pc.data == bc.data[i].astype(pc.data.dtype)
+            eq = e if eq is None else (eq & e)
+            if bc.valid is not None:
+                ok_i = ok_i & bc.valid[i]
+        eq = eq & ok_i
+        if pvalid is not None:
+            eq = eq & pvalid
+        row = jnp.where(~matched & eq, jnp.int32(i), row)
+        matched = matched | eq
+    return matched, row
 
 
 def _append_unmatched_build(out: Table, b: Table, build_cols, flags) -> Table:

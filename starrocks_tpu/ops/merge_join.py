@@ -30,6 +30,11 @@ from starrocks_tpu.column.column import Column
 from starrocks_tpu.ops import scan_utils as su
 
 MERGE_THRESHOLD = 1 << 16
+# probe sides at least this large take the merge path regardless of build
+# size: the open-addressing probe loop pays per-iteration full-probe-width
+# gathers (~15ns/row/iteration on v5e), so a 2M-probe x 32k-build join
+# costs ~3x a sort-merge of the same inputs
+MERGE_PROBE_ROWS = 1 << 20
 
 
 def _merge_vrange(a: Column, b: Column):
