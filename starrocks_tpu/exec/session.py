@@ -30,6 +30,9 @@ class Session:
                 tables, mesh, partitioning or D.TPCH_PARTITIONING)
         self._plan_cache: dict[str, object] = {}
         self.views: dict[str, str] = {}
+        # materialized views: name -> MaterializedView (sql/mv.py); their
+        # storage tables live in self.tables under __mv_<name>
+        self.mviews: dict[str, object] = {}
         # result cache: SQL text -> DataFrame, exact because registered
         # tables are immutable between catalog versions (query-cache analog,
         # be/src/exec/query_cache/cache_operator.h:42)
@@ -40,8 +43,24 @@ class Session:
 
     def plan(self, text: str):
         if text not in self._plan_cache:
-            self._plan_cache[text] = plan_sql(text, self.catalog,
-                                              views=self.views)
+            plan = None
+            if self.mviews:
+                from starrocks_tpu.sql.mv import try_rewrite
+                from starrocks_tpu.sql.parser import parse
+                from starrocks_tpu.sql.planner import plan_ast
+                try:
+                    stmt = parse(text)
+                except Exception:
+                    stmt = None
+                rewritten = (try_rewrite(stmt, self.mviews)
+                             if stmt is not None else None)
+                if rewritten is not None:
+                    plan = plan_ast(rewritten, self.catalog,
+                                    views=self.views)
+                    plan.mv_rewritten = True
+            if plan is None:
+                plan = plan_sql(text, self.catalog, views=self.views)
+            self._plan_cache[text] = plan
         return self._plan_cache[text]
 
     def execute(self, text: str) -> Table:
@@ -83,14 +102,49 @@ class Session:
             self._dist_tables = D.place_tables(
                 self.tables, self.mesh,
                 self._partitioning or D.TPCH_PARTITIONING)
+        # auto-refresh MVs over the re-registered base (the reference's
+        # version-triggered refresh task; immutable loads make a full
+        # recompute THE incremental unit)
+        for mv in list(self.mviews.values()):
+            if name in mv.base_tables:
+                self._refresh_mv(mv)
 
     def drop(self, name: str) -> None:
         self.tables.pop(name, None)
         self.views.pop(name, None)
+        # MVs over a dropped base are dropped with it (the reference marks
+        # them inactive; with no base there is nothing to refresh from)
+        for mname in [m for m, mv in self.mviews.items()
+                      if name in mv.base_tables]:
+            mv = self.mviews.pop(mname)
+            self.tables.pop(mv.table_name, None)
         self.catalog = Catalog.from_tables(self.tables)
         self._plan_cache.clear()
         self._result_cache.clear()
         self._catalog_version += 1
+
+    # -- materialized views (sql/mv.py; MaterializedView.java analog) -------
+    def create_materialized_view(self, name: str, select_sql: str) -> None:
+        from starrocks_tpu.sql.mv import analyze_mv
+        result = self._execute_base(select_sql)
+        mv = analyze_mv(name, select_sql, list(result.column_names()))
+        self.register(mv.table_name, result)
+        self.mviews[name] = mv
+
+    def _refresh_mv(self, mv) -> None:
+        # plan WITHOUT MV rewrite: the defining query exact-matches its own
+        # materialization, so the normal path would "refresh" the MV from
+        # its stale self
+        result = self._execute_base(mv.sql)
+        # register() would re-enter the refresh loop; the storage name is
+        # never a base table, so the nested pass over mviews no-ops
+        self.register(mv.table_name, result)
+
+    def _execute_base(self, text: str) -> Table:
+        """Execute against base tables only (MV rewrite disabled)."""
+        plan = plan_sql(text, self.catalog, views=self.views)
+        from starrocks_tpu.exec.plan import execute
+        return execute(plan, self.tables)
 
     def load_parquet(self, name: str, path: str) -> Table:
         from starrocks_tpu.io.parquet_io import read_parquet
@@ -136,7 +190,8 @@ class Session:
         from starrocks_tpu.io.parquet_io import write_parquet
 
         os.makedirs(dirpath, exist_ok=True)
-        manifest = {"version": 1, "tables": {}, "views": dict(self.views)}
+        manifest = {"version": 1, "tables": {}, "views": dict(self.views),
+                    "mviews": {n: mv.sql for n, mv in self.mviews.items()}}
         for name, t in self.tables.items():
             if not isinstance(t, Table):
                 raise ValueError(
@@ -168,6 +223,11 @@ class Session:
                   for name, meta in manifest["tables"].items()}
         s = cls(tables, mesh=mesh, partitioning=partitioning)
         s.views = dict(manifest.get("views", {}))
+        from starrocks_tpu.sql.mv import analyze_mv
+        for n, sql in manifest.get("mviews", {}).items():
+            stored = s.tables.get(f"__mv_{n}")
+            if stored is not None:
+                s.mviews[n] = analyze_mv(n, sql, list(stored.column_names()))
         return s
 
     _DDL = None  # compiled lazily
@@ -178,6 +238,18 @@ class Session:
         import re
         import pandas as pd
         s = text.strip().rstrip(";")
+        from starrocks_tpu.sql.mv import match_ddl as _mv_ddl
+        mvd = _mv_ddl(s)
+        if mvd is not None:
+            if mvd[0] == "create":
+                self.create_materialized_view(mvd[1], mvd[2])
+            elif mvd[0] == "drop":
+                mv = self.mviews.pop(mvd[1], None)
+                if mv is not None:
+                    self.drop(mv.table_name)
+            else:  # refresh
+                self._refresh_mv(self.mviews[mvd[1]])
+            return pd.DataFrame()
         m = re.match(r"(?is)^create\s+table\s+(\w+)\s+as\s+(.*)$", s)
         if m:
             name, sel = m.group(1), m.group(2)

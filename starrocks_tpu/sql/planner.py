@@ -1977,7 +1977,13 @@ def rewrite_eager_count(plan: PlanNode) -> PlanNode:
 
 def plan_sql(text: str, catalog: Catalog, views: Optional[dict] = None) -> PlanNode:
     from starrocks_tpu.sql.parser import parse
-    stmt = parse(text)
+    return plan_ast(parse(text), catalog, views)
+
+
+def plan_ast(stmt, catalog: Catalog, views: Optional[dict] = None) -> PlanNode:
+    """Plan an already-parsed statement (used by the MV rewriter, which
+    produces rewritten ASTs rather than SQL text)."""
+    from starrocks_tpu.sql.parser import parse
     p = Planner(catalog)
     if views:
         p._ctes = {name: parse(sql) for name, sql in views.items()}
