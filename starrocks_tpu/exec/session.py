@@ -14,11 +14,21 @@ from starrocks_tpu.sql.catalog import Catalog
 from starrocks_tpu.sql.planner import plan_sql
 
 
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
 class Session:
     def __init__(self, tables: dict[str, Table], catalog: Optional[Catalog] = None,
-                 mesh=None, partitioning: Optional[dict] = None, variables=None):
+                 mesh=None, partitioning: Optional[dict] = None, variables=None,
+                 user: str = "default"):
         from starrocks_tpu.config import SessionVariables
         self.variables = variables or SessionVariables()
+        self.user = user
         self.tables = tables
         self.catalog = catalog or Catalog.from_tables(tables)
         self.mesh = mesh
@@ -238,6 +248,23 @@ class Session:
         import re
         import pandas as pd
         s = text.strip().rstrip(";")
+        from starrocks_tpu.exec.workgroup import MANAGER as _WG
+        from starrocks_tpu.exec.workgroup import match_ddl as _wg_ddl
+        wgd = _wg_ddl(s)
+        if wgd is not None:
+            if wgd[0] == "create":
+                _WG.create(wgd[1], replace=True)
+                return pd.DataFrame()
+            if wgd[0] == "drop":
+                _WG.drop(wgd[1])
+                return pd.DataFrame()
+            return pd.DataFrame(
+                [{"name": g.name, "concurrency_limit": g.concurrency_limit,
+                  "mem_limit_bytes": g.mem_limit_bytes,
+                  "big_query_mem_bytes": g.big_query_mem_bytes,
+                  "users": "|".join(g.users),
+                  "query_types": "|".join(g.query_types)}
+                 for g in _WG.list()])
         from starrocks_tpu.sql.mv import match_ddl as _mv_ddl
         mvd = _mv_ddl(s)
         if mvd is not None:
@@ -411,9 +438,20 @@ class Session:
             if hit is not None:
                 REGISTRY.inc("result_cache_hits_total")
                 return hit.copy()
+        # resource-group admission: classify by user, charge the group's
+        # quota with the plan's static scan estimate (exec/workgroup.py)
+        from starrocks_tpu.exec.workgroup import MANAGER as _WG
+        from starrocks_tpu.exec.workgroup import plan_mem_estimate
+        gname = _WG.classify(self.user, "select")
+        adm = None
+        if gname is not None:
+            est = plan_mem_estimate(self.plan(text), self.tables)
+            adm = _WG.admit(gname, est,
+                            timeout_s=CONFIG.admission_timeout_s)
         t0 = time.perf_counter()
         try:
-            df = self.execute(text).to_pandas()
+            with (adm if adm is not None else _NullCtx()):
+                df = self.execute(text).to_pandas()
         except Exception as e:
             REGISTRY.inc("queries_failed_total")
             AUDIT.record(AuditRecord(time.time(), text.strip()[:500],
