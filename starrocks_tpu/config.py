@@ -54,6 +54,13 @@ class EngineConfig:
     # slots: device memory is capacity-planned per query here)
     max_concurrent_queries: int = 4
     admission_timeout_s: float = 300.0
+    # adaptive DOP (P14 / the reference's group-execution analog,
+    # fe/.../qe/scheduler + pipeline adaptive DOP): a mesh-backed session
+    # routes a query to SINGLE-chip execution when the bytes it scans fall
+    # below this threshold — per-op collective latency dominates tiny
+    # queries. 0 disables (default: distributed tests must exercise the
+    # mesh path regardless of table size).
+    adaptive_dop_min_bytes: int = 0
     # --- distributed execution (parallel/dist.py) ---
     # builds whose GLOBAL row count (shard rows x ndev) exceeds this are
     # hash-shuffled on the join keys instead of broadcast (P4 vs P5; the

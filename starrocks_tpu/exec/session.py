@@ -76,6 +76,17 @@ class Session:
     def execute(self, text: str) -> Table:
         plan = self.plan(text)
         if self.mesh is not None:
+            # adaptive DOP (P14): below the byte threshold a 1-instance
+            # "fragment" on the session's retained host tables beats paying
+            # per-op collective latency across the mesh
+            from starrocks_tpu.config import CONFIG
+            if CONFIG.adaptive_dop_min_bytes > 0:
+                from starrocks_tpu.exec.workgroup import plan_mem_estimate
+                if (plan_mem_estimate(plan, self.tables)
+                        < CONFIG.adaptive_dop_min_bytes):
+                    from starrocks_tpu.exec.plan import execute
+                    plan.adaptive_dop_local = True
+                    return execute(plan, self.tables)
             from starrocks_tpu.parallel import dist as D
             D.annotate_skew(plan, self.catalog, self.mesh.devices.size)
             try:

@@ -127,3 +127,23 @@ def test_ungoverned_sessions_unaffected():
     s = Session({"t": _tiny()}, user="dave")
     # dave matches no group (vip is user-scoped) -> runs without quota
     assert len(s.sql("select k from t where v > 100")) > 0
+
+
+# -- adaptive DOP (P14) ------------------------------------------------------
+
+def test_adaptive_dop_routes_small_queries_local():
+    from starrocks_tpu.config import set_config
+    from starrocks_tpu.parallel import dist as D
+    mesh = D.make_mesh(4)
+    s = Session({"t": _tiny()}, mesh=mesh, partitioning={"t": "k"})
+    q = "select k, sum(v) sv from t group by k order by k limit 5"
+    want = s.sql(q).sv.tolist()            # mesh path
+    assert not getattr(s.plan(q), "adaptive_dop_local", False)
+    set_config(adaptive_dop_min_bytes=1 << 20)
+    try:
+        s._result_cache.clear()
+        got = s.sql(q).sv.tolist()         # tiny scan -> local fragment
+        assert getattr(s.plan(q), "adaptive_dop_local", False)
+        assert got == want
+    finally:
+        set_config(adaptive_dop_min_bytes=0)
