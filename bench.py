@@ -86,14 +86,17 @@ def bench_q6_micro(lineitem_raw):
             price = t["l_extendedprice"].data
 
             def step(carry, _):
-                # every operand depends on the carry so NO subexpression is
-                # loop-invariant (nothing hoists out of the scan)
-                s = carry & 1
-                m = ((ship >= d0 + s) & (ship < d1 + s)
-                     & (disc >= 5 + s) & (disc <= 7 + s)
+                # the carry perturbs a threshold through 1024 possible
+                # values, so the masked sum is NOT loop-invariant and can't
+                # be hoisted/enumerated out of the scan (with `carry & 1`
+                # XLA computed both variants once outside the loop and the
+                # "per-iteration" time measured a select, not the scan)
+                s = carry & 1023
+                m = ((ship >= d0) & (ship < d1)
+                     & (disc >= 5) & (disc <= 7)
                      & (qty < 2400 + s))
-                rev = jnp.sum(jnp.where(m, price * (disc + s), 0))
-                return rev, None
+                rev = jnp.sum(jnp.where(m, price * disc, 0))
+                return rev + (s & 1), None
 
             out, _ = lax.scan(step, jnp.int64(0), None, length=k)
             return out
@@ -159,7 +162,8 @@ def _run_suite(session, queries, base, trials, label, order=None,
         results[name] = round(ms, 1)
         meta[name] = {"cold_s": round(cold_s, 1),
                       "frozen_compile_s": round(frozen_s, 1),
-                      "frozen": frozen}
+                      "frozen": frozen,
+                      "modules": len(plan.__dict__.get("_frozen_jits") or ())}
         total += ms
         ran += 1
         print(f"# {label} {name}: {ms:8.1f} ms (cold {cold_s:.1f}s, "

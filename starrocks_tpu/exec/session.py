@@ -197,6 +197,22 @@ class Session:
         self.register(name, t)
         return t
 
+    def create_routine_load(self, name: str, table: str, pattern: str,
+                            fmt: str = "csv", interval_s: float = 5.0,
+                            start: bool = False, **load_kwargs):
+        """Continuous ingest job: new files matching `pattern` append to
+        `table` on each poll (io/routine_load.py; RoutineLoadJob.java
+        analog with a file glob standing in for the Kafka topic)."""
+        from starrocks_tpu.io.routine_load import RoutineLoadJob
+        job = RoutineLoadJob(self, name, table, pattern, fmt, interval_s,
+                             **load_kwargs)
+        if not hasattr(self, "routine_jobs"):
+            self.routine_jobs = {}
+        self.routine_jobs[name] = job
+        if start:
+            job.start()
+        return job
+
     def export_parquet(self, select_text: str, path: str) -> None:
         from starrocks_tpu.io.parquet_io import write_parquet
         write_parquet(self.execute(select_text), path)
