@@ -331,6 +331,30 @@ class Session:
         if m:
             self.drop(m.group(1))
             return pd.DataFrame()
+        # metadata front-door statements (ShowExecutor.java analog)
+        if re.match(r"(?is)^show\s+tables$", s):
+            return pd.DataFrame(
+                {"table_name": sorted(n for n in self.tables
+                                      if not n.startswith("__mv_"))})
+        if re.match(r"(?is)^show\s+(?:views)$", s):
+            return pd.DataFrame({"view_name": sorted(self.views)})
+        if re.match(r"(?is)^show\s+materialized\s+views?$", s):
+            return pd.DataFrame(
+                [{"name": n, "definition": mv.sql,
+                  "rows": self.tables[mv.table_name].nrows
+                  if mv.table_name in self.tables else 0}
+                 for n, mv in sorted(self.mviews.items())])
+        m = re.match(r"(?is)^(?:describe|desc)\s+(\w+)$", s)
+        if m:
+            name = m.group(1)
+            if name in self.views:
+                raise ValueError(f"DESC on logical view {name!r}: "
+                                 "describe its base tables")
+            t = self.tables[name]
+            return pd.DataFrame(
+                [{"field": c, "type": str(col.dtype),
+                  "null": "YES" if col.valid is not None else "NO"}
+                 for c, col in t.columns.items()])
         return None
 
     def _insert_values(self, name: str, colspec, values_text: str) -> None:

@@ -117,3 +117,20 @@ def test_save_load_catalog(tmp_path):
     import json, os
     m = json.load(open(os.path.join(d, "manifest.json")))
     assert m["tables"]["t"]["rows"] == 100
+
+
+def test_show_and_describe():
+    t = Table(columns={
+        "a": Column.from_numpy(np.arange(3, dtype=np.int64), dt.INT64),
+        "b": Column.from_numpy(np.array([1.0, 2.0, 3.0]), dt.FLOAT64),
+    })
+    s = Session({"t1": t})
+    s.sql("create view v1 as select a from t1")
+    s.sql("create materialized view m1 as select a, sum(b) sb from t1 group by a")
+    assert s.sql("show tables").table_name.tolist() == ["t1"]
+    assert s.sql("show views").view_name.tolist() == ["v1"]
+    mv = s.sql("show materialized views")
+    assert mv.name.tolist() == ["m1"] and mv.rows.tolist() == [3]
+    d = s.sql("desc t1")
+    assert d.field.tolist() == ["a", "b"]
+    assert d.type.tolist() == ["INT64", "FLOAT64"]
