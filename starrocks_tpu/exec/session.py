@@ -331,6 +331,41 @@ class Session:
         if m:
             self.drop(m.group(1))
             return pd.DataFrame()
+        # row mutations over immutable storage: DELETE/UPDATE rebuild the
+        # table through a SELECT (the reference's primary-key delete/update
+        # write a delete-vector + new rows, fe/.../DeleteStmt + partial
+        # update; an immutable rebuild is the device-resident equivalent).
+        # 3VL: DELETE removes rows where the predicate is TRUE; FALSE and
+        # NULL rows survive, hence the CASE guard rather than NOT.
+        m = re.match(r"(?is)^delete\s+from\s+(\w+)\s+where\s+(.*)$", s)
+        if m:
+            name, pred = m.group(1), m.group(2)
+            cols = ", ".join(self.tables[name].column_names())
+            kept = self._execute_base(
+                f"select {cols} from {name} "
+                f"where case when {pred} then 0 else 1 end = 1")
+            self.register(name, kept)
+            return pd.DataFrame()
+        m = re.match(r"(?is)^update\s+(\w+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$",
+                     s)
+        if m:
+            name, sets, pred = m.group(1), m.group(2), m.group(3)
+            assigns = {}
+            for part in self._split_top(sets):
+                col, _, expr = part.partition("=")
+                assigns[col.strip()] = expr.strip()
+            items = []
+            for c in self.tables[name].column_names():
+                if c in assigns:
+                    new = assigns[c]
+                    items.append(
+                        f"case when {pred} then {new} else {c} end as {c}"
+                        if pred else f"{new} as {c}")
+                else:
+                    items.append(c)
+            self.register(name, self._execute_base(
+                f"select {', '.join(items)} from {name}"))
+            return pd.DataFrame()
         # metadata front-door statements (ShowExecutor.java analog)
         if re.match(r"(?is)^show\s+tables$", s):
             return pd.DataFrame(
@@ -356,6 +391,27 @@ class Session:
                   "null": "YES" if col.valid is not None else "NO"}
                  for c, col in t.columns.items()])
         return None
+
+    @staticmethod
+    def _split_top(text: str) -> list:
+        """Split on commas at paren/quote depth 0 (UPDATE SET lists can
+        contain function calls and string literals)."""
+        out, depth, q, start = [], 0, None, 0
+        for i, ch in enumerate(text):
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append(text[start:i])
+                start = i + 1
+        out.append(text[start:])
+        return [p for p in (x.strip() for x in out) if p]
 
     def _insert_values(self, name: str, colspec, values_text: str) -> None:
         """INSERT INTO t [(cols)] VALUES (...), (...) — the small-row append

@@ -134,3 +134,25 @@ def test_show_and_describe():
     d = s.sql("desc t1")
     assert d.field.tolist() == ["a", "b"]
     assert d.type.tolist() == ["INT64", "FLOAT64"]
+
+
+def test_delete_and_update():
+    t = Table(columns={
+        "k": Column.from_numpy(np.arange(6, dtype=np.int64), dt.INT64),
+        "v": Column.from_numpy(np.array([10, 20, 30, 40, 50, 60],
+                                        dtype=np.int64), dt.INT64,
+                               valid=np.array([1, 1, 0, 1, 1, 1], bool)),
+    })
+    s = Session({"t": t})
+    # DELETE with 3VL: v>25 is NULL for k=2 -> that row SURVIVES
+    s.sql("delete from t where v > 25")
+    got = s.sql("select k from t order by k")
+    assert got.k.tolist() == [0, 1, 2]
+    # UPDATE with predicate; untouched rows keep values (incl. NULL)
+    s.sql("update t set v = v + 1 where k = 0")
+    got = s.sql("select k, v from t order by k")
+    assert got.v.tolist()[0] == 11 and got.v.tolist()[1] == 20
+    assert got.v.tolist()[2] is None
+    # unconditional UPDATE with a function call containing a comma
+    s.sql("update t set v = coalesce(v, 0)")
+    assert s.sql("select v from t order by k").v.tolist() == [11, 20, 0]
