@@ -331,6 +331,54 @@ class Session:
         if m:
             self.drop(m.group(1))
             return pd.DataFrame()
+        # multi-statement transactions (the reference's txn manager guards
+        # loads/publishes, fe/.../transaction/; with immutable device
+        # tables a snapshot of the name->Table map IS a consistent point,
+        # so BEGIN is a shallow copy and ROLLBACK a restore — single
+        # session scope, no cross-session isolation to manage)
+        if re.match(r"(?is)^(?:begin|start\s+transaction)$", s):
+            if getattr(self, "_txn", None) is not None:
+                raise RuntimeError("transaction already in progress")
+            self._txn = (dict(self.tables), dict(self.views),
+                         dict(self.mviews))
+            return pd.DataFrame()
+        if re.match(r"(?is)^commit$", s):
+            if getattr(self, "_txn", None) is None:
+                raise RuntimeError("COMMIT outside a transaction")
+            self._txn = None
+            return pd.DataFrame()
+        if re.match(r"(?is)^rollback$", s):
+            txn = getattr(self, "_txn", None)
+            if txn is None:
+                raise RuntimeError("ROLLBACK outside a transaction")
+            self.tables, self.views, self.mviews = (dict(txn[0]),
+                                                    dict(txn[1]),
+                                                    dict(txn[2]))
+            self._txn = None
+            self.catalog = Catalog.from_tables(self.tables)
+            self._plan_cache.clear()
+            self._result_cache.clear()
+            self._catalog_version += 1
+            return pd.DataFrame()
+        # privileges (table-level grants; fe/.../privilege/
+        # AuthorizationMgr.java reduced to the single-process surface:
+        # users + SELECT/INSERT grants checked at the session front door)
+        m = re.match(r"(?is)^create\s+user\s+(?:if\s+not\s+exists\s+)?'?(\w+)'?$", s)
+        if m:
+            self._auth_users().add(m.group(1))
+            return pd.DataFrame()
+        m = re.match(r"(?is)^grant\s+(\w+)\s+on\s+(\w+)\s+to\s+'?(\w+)'?$", s)
+        if m:
+            priv, tbl, usr = (m.group(1).lower(), m.group(2), m.group(3))
+            if usr not in self._auth_users():
+                raise ValueError(f"unknown user {usr!r}")
+            self._grants().setdefault(usr, {}).setdefault(tbl, set()).add(priv)
+            return pd.DataFrame()
+        m = re.match(r"(?is)^revoke\s+(\w+)\s+on\s+(\w+)\s+from\s+'?(\w+)'?$", s)
+        if m:
+            priv, tbl, usr = (m.group(1).lower(), m.group(2), m.group(3))
+            self._grants().get(usr, {}).get(tbl, set()).discard(priv)
+            return pd.DataFrame()
         # row mutations over immutable storage: DELETE/UPDATE rebuild the
         # table through a SELECT (the reference's primary-key delete/update
         # write a delete-vector + new rows, fe/.../DeleteStmt + partial
@@ -391,6 +439,37 @@ class Session:
                   "null": "YES" if col.valid is not None else "NO"}
                  for c, col in t.columns.items()])
         return None
+
+    # auth registries are per-catalog (shared by every session constructed
+    # over the same tables dict? no — per-Session, like the rest of the
+    # catalog state; a deployment shares them via a shared Session or the
+    # wire front doors, which hold ONE session per server)
+    def _auth_users(self) -> set:
+        if not hasattr(self, "_users"):
+            self._users = set()
+        return self._users
+
+    def _grants(self) -> dict:
+        if not hasattr(self, "_grant_map"):
+            self._grant_map = {}
+        return self._grant_map
+
+    def _check_select_priv(self, plan) -> None:
+        """Enforce table-level SELECT grants for non-default users that
+        exist in the user registry (default/admin sessions bypass)."""
+        if self.user == "default" or self.user not in self._auth_users():
+            return
+        from starrocks_tpu.exec.plan import Scan
+        mine = self._grants().get(self.user, {})
+        for node in plan.walk():
+            if isinstance(node, Scan):
+                base = node.table
+                if base.startswith("__mv_"):
+                    continue        # rewritten MV scan: definition already
+                                    # checked against its base at create
+                if "select" not in mine.get(base, ()):
+                    raise PermissionError(
+                        f"user {self.user!r} lacks SELECT on {base!r}")
 
     @staticmethod
     def _split_top(text: str) -> list:
@@ -545,6 +624,7 @@ class Session:
             if hit is not None:
                 REGISTRY.inc("result_cache_hits_total")
                 return hit.copy()
+        self._check_select_priv(self.plan(text))
         # resource-group admission: classify by user, charge the group's
         # quota with the plan's static scan estimate (exec/workgroup.py)
         from starrocks_tpu.exec.workgroup import MANAGER as _WG
