@@ -319,13 +319,16 @@ class Session:
         if m:
             name, sel = m.group(1), m.group(2)
             cols = ", ".join(self.tables[name].column_names())
-            merged = self.execute(f"select {cols} from {name} union all {sel}")
-            self.register(name, merged)
+            with self._wg_admit("insert"):
+                merged = self.execute(
+                    f"select {cols} from {name} union all {sel}")
+                self.register(name, merged)
             return pd.DataFrame()
         m = re.match(r"(?is)^insert\s+into\s+(\w+)\s*"
                      r"(?:\(([\w\s,]*)\))?\s*values\s+(.*)$", s)
         if m:
-            self._insert_values(m.group(1), m.group(2), m.group(3))
+            with self._wg_admit("insert"):
+                self._insert_values(m.group(1), m.group(2), m.group(3))
             return pd.DataFrame()
         m = re.match(r"(?is)^drop\s+(?:table|view)\s+(?:if\s+exists\s+)?(\w+)$", s)
         if m:
@@ -453,6 +456,19 @@ class Session:
         if not hasattr(self, "_grant_map"):
             self._grant_map = {}
         return self._grant_map
+
+    def _wg_admit(self, query_type: str):
+        """Resource-group admission for write-path statements (the select
+        path charges its plan estimate in _sql_admitted; writes are
+        admitted for concurrency only — their working set is the load
+        itself, not a plan scan)."""
+        from starrocks_tpu.config import CONFIG
+        from starrocks_tpu.exec.workgroup import MANAGER
+        gname = MANAGER.classify(self.user, query_type)
+        if gname is None:
+            return _NullCtx()
+        return MANAGER.admit(gname, 0,
+                             timeout_s=CONFIG.admission_timeout_s)
 
     def _check_select_priv(self, plan) -> None:
         """Enforce table-level SELECT grants for non-default users that

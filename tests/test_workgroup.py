@@ -147,3 +147,14 @@ def test_adaptive_dop_routes_small_queries_local():
         assert got == want
     finally:
         set_config(adaptive_dop_min_bytes=0)
+
+
+def test_insert_classified_to_etl_group():
+    MANAGER.create(ResourceGroup("etl2", users=("ed",),
+                                 query_types=("insert",),
+                                 concurrency_limit=1))
+    s = Session({"t": _tiny()}, user="ed")
+    s.sql("insert into t (k, v) values (500, 5000)")
+    assert int(s.sql("select max(k) m from t").m[0]) == 500
+    st = MANAGER._groups["etl2"]
+    assert st.running == 0          # admission released after the write
