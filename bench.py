@@ -361,24 +361,35 @@ def main():
             suite_line["error"] = f"{type(e).__name__}: {str(e)[:200]}"
     del raw
 
+    ssb_sf = float(os.environ.get("SSB_SF", "1.0"))
     if os.environ.get("BENCH_SSB", "1") == "1" and _remaining() > 420:
         try:
             bench_ssb()
         except Exception as e:
             print(f"# ssb failed: {type(e).__name__} {str(e)[:200]}",
                   flush=True)
+            _emit({"metric": f"ssb_sf{ssb_sf}_suite_total", "value": 0,
+                   "unit": "ms", "queries_timed": 0, "vs_baseline": 0.0,
+                   "error": f"{type(e).__name__}: {str(e)[:200]}"})
     else:
-        print(f"# ssb skipped (budget left {_remaining():.0f}s)", flush=True)
+        _emit({"metric": f"ssb_sf{ssb_sf}_suite_total", "value": 0,
+               "unit": "ms", "queries_timed": 0, "vs_baseline": 0.0,
+               "error": f"skipped (budget left {_remaining():.0f}s)"})
 
+    ds_sf = float(os.environ.get("TPCDS_SF", "0.1"))
     if os.environ.get("BENCH_TPCDS", "1") == "1" and _remaining() > 600:
         try:
             bench_tpcds()
         except Exception as e:
             print(f"# tpcds failed: {type(e).__name__} {str(e)[:200]}",
                   flush=True)
+            _emit({"metric": f"tpcds_sf{ds_sf}_suite_total", "value": 0,
+                   "unit": "ms", "queries_timed": 0, "vs_baseline": 0.0,
+                   "error": f"{type(e).__name__}: {str(e)[:200]}"})
     else:
-        print(f"# tpcds skipped (budget left {_remaining():.0f}s)",
-              flush=True)
+        _emit({"metric": f"tpcds_sf{ds_sf}_suite_total", "value": 0,
+               "unit": "ms", "queries_timed": 0, "vs_baseline": 0.0,
+               "error": f"skipped (budget left {_remaining():.0f}s)"})
 
     ooc_done = False
     if os.environ.get("BENCH_OOC", "1") == "1" and _remaining() > 240:
