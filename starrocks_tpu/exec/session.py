@@ -635,12 +635,14 @@ class Session:
         import time
         from starrocks_tpu.utils.metrics import AUDIT, REGISTRY, AuditRecord
         from starrocks_tpu.config import CONFIG
+        # privilege check BEFORE the result cache: a revoked grant must
+        # also revoke access to previously-cached results
+        self._check_select_priv(self.plan(text))
         if CONFIG.enable_result_cache:
             hit = self._result_cache.get(text)
             if hit is not None:
                 REGISTRY.inc("result_cache_hits_total")
                 return hit.copy()
-        self._check_select_priv(self.plan(text))
         # resource-group admission: classify by user, charge the group's
         # quota with the plan's static scan estimate (exec/workgroup.py)
         from starrocks_tpu.exec.workgroup import MANAGER as _WG

@@ -64,7 +64,7 @@ def test_grant_revoke_enforced():
     with pytest.raises(PermissionError):
         alice.sql("select k from secret")
     admin.sql("revoke select on t from 'alice'")
-    alice._result_cache.clear()
+    # cached result must NOT bypass the revoked grant
     with pytest.raises(PermissionError):
         alice.sql("select k from t")
 
