@@ -27,8 +27,13 @@ class Session:
                  mesh=None, partitioning: Optional[dict] = None, variables=None,
                  user: str = "default"):
         from starrocks_tpu.config import SessionVariables
+        from starrocks_tpu.utils.rwlock import RWLock
         self.variables = variables or SessionVariables()
         self.user = user
+        # catalog mutation (register/drop/txn) vs query planning+execution
+        # fence: a background routine-load register() must not swap tables
+        # under a planning query (utils/rwlock.py docstring)
+        self._lock = RWLock()
         self.tables = tables
         self.catalog = catalog or Catalog.from_tables(tables)
         self.mesh = mesh
@@ -111,6 +116,10 @@ class Session:
     def register(self, name: str, table: Table) -> None:
         """Register (or replace) a table; re-derives catalog stats (the
         ANALYZE-at-load behavior of Catalog.from_tables)."""
+        with self._lock.write():
+            self._register_locked(name, table)
+
+    def _register_locked(self, name: str, table: Table) -> None:
         self.tables[name] = table
         self.catalog = Catalog.from_tables(self.tables)
         self._plan_cache.clear()
@@ -131,18 +140,20 @@ class Session:
                 self._refresh_mv(mv)
 
     def drop(self, name: str) -> None:
-        self.tables.pop(name, None)
-        self.views.pop(name, None)
-        # MVs over a dropped base are dropped with it (the reference marks
-        # them inactive; with no base there is nothing to refresh from)
-        for mname in [m for m, mv in self.mviews.items()
-                      if name in mv.base_tables]:
-            mv = self.mviews.pop(mname)
-            self.tables.pop(mv.table_name, None)
-        self.catalog = Catalog.from_tables(self.tables)
-        self._plan_cache.clear()
-        self._result_cache.clear()
-        self._catalog_version += 1
+        with self._lock.write():
+            self.tables.pop(name, None)
+            self.views.pop(name, None)
+            # MVs over a dropped base are dropped with it (the reference
+            # marks them inactive; with no base there is nothing to refresh
+            # from)
+            for mname in [m for m, mv in self.mviews.items()
+                          if name in mv.base_tables]:
+                mv = self.mviews.pop(mname)
+                self.tables.pop(mv.table_name, None)
+            self.catalog = Catalog.from_tables(self.tables)
+            self._plan_cache.clear()
+            self._result_cache.clear()
+            self._catalog_version += 1
 
     # -- materialized views (sql/mv.py; MaterializedView.java analog) -------
     def create_materialized_view(self, name: str, select_sql: str) -> None:
@@ -280,9 +291,11 @@ class Session:
         wgd = _wg_ddl(s)
         if wgd is not None:
             if wgd[0] == "create":
-                _WG.create(wgd[1], replace=True)
+                self._require_admin("CREATE RESOURCE GROUP")
+                _WG.create(wgd[1], if_not_exists=wgd[2])
                 return pd.DataFrame()
             if wgd[0] == "drop":
+                self._require_admin("DROP RESOURCE GROUP")
                 _WG.drop(wgd[1])
                 return pd.DataFrame()
             return pd.DataFrame(
@@ -296,8 +309,10 @@ class Session:
         mvd = _mv_ddl(s)
         if mvd is not None:
             if mvd[0] == "create":
+                self._check_select_text(mvd[2])
                 self.create_materialized_view(mvd[1], mvd[2])
             elif mvd[0] == "drop":
+                self._check_table_priv(mvd[1], "drop")
                 mv = self.mviews.pop(mvd[1], None)
                 if mv is not None:
                     self.drop(mv.table_name)
@@ -307,6 +322,10 @@ class Session:
         m = re.match(r"(?is)^create\s+table\s+(\w+)\s+as\s+(.*)$", s)
         if m:
             name, sel = m.group(1), m.group(2)
+            # the embedded SELECT runs with the CALLER's grants (the
+            # reference checks CTAS sources against the requesting user,
+            # not the table owner)
+            self._check_select_text(sel)
             self.register(name, self.execute(sel))
             return pd.DataFrame()
         m = re.match(r"(?is)^create\s+view\s+(\w+)\s+as\s+(.*)$", s)
@@ -318,20 +337,24 @@ class Session:
         m = re.match(r"(?is)^insert\s+into\s+(\w+)\s+(select.*)$", s)
         if m:
             name, sel = m.group(1), m.group(2)
+            self._check_table_priv(name, "insert")
+            self._check_select_text(sel)
             cols = ", ".join(self.tables[name].column_names())
             with self._wg_admit("insert"):
-                merged = self.execute(
+                merged = self._execute_base(
                     f"select {cols} from {name} union all {sel}")
                 self.register(name, merged)
             return pd.DataFrame()
         m = re.match(r"(?is)^insert\s+into\s+(\w+)\s*"
                      r"(?:\(([\w\s,]*)\))?\s*values\s+(.*)$", s)
         if m:
+            self._check_table_priv(m.group(1), "insert")
             with self._wg_admit("insert"):
                 self._insert_values(m.group(1), m.group(2), m.group(3))
             return pd.DataFrame()
         m = re.match(r"(?is)^drop\s+(?:table|view)\s+(?:if\s+exists\s+)?(\w+)$", s)
         if m:
+            self._check_table_priv(m.group(1), "drop")
             self.drop(m.group(1))
             return pd.DataFrame()
         # multi-statement transactions (the reference's txn manager guards
@@ -354,24 +377,34 @@ class Session:
             txn = getattr(self, "_txn", None)
             if txn is None:
                 raise RuntimeError("ROLLBACK outside a transaction")
-            self.tables, self.views, self.mviews = (dict(txn[0]),
-                                                    dict(txn[1]),
-                                                    dict(txn[2]))
-            self._txn = None
-            self.catalog = Catalog.from_tables(self.tables)
-            self._plan_cache.clear()
-            self._result_cache.clear()
-            self._catalog_version += 1
+            with self._lock.write():
+                self.tables, self.views, self.mviews = (dict(txn[0]),
+                                                        dict(txn[1]),
+                                                        dict(txn[2]))
+                self._txn = None
+                self.catalog = Catalog.from_tables(self.tables)
+                self._plan_cache.clear()
+                self._result_cache.clear()
+                self._catalog_version += 1
+                if self.mesh is not None:
+                    # any register() inside the txn re-placed device shards;
+                    # distributed reads must see the restored snapshot too
+                    from starrocks_tpu.parallel import dist as D
+                    self._dist_tables = D.place_tables(
+                        self.tables, self.mesh,
+                        self._partitioning or D.TPCH_PARTITIONING)
             return pd.DataFrame()
         # privileges (table-level grants; fe/.../privilege/
         # AuthorizationMgr.java reduced to the single-process surface:
         # users + SELECT/INSERT grants checked at the session front door)
         m = re.match(r"(?is)^create\s+user\s+(?:if\s+not\s+exists\s+)?'?(\w+)'?$", s)
         if m:
+            self._require_admin("CREATE USER")
             self._auth_users().add(m.group(1))
             return pd.DataFrame()
         m = re.match(r"(?is)^grant\s+(\w+)\s+on\s+(\w+)\s+to\s+'?(\w+)'?$", s)
         if m:
+            self._require_admin("GRANT")
             priv, tbl, usr = (m.group(1).lower(), m.group(2), m.group(3))
             if usr not in self._auth_users():
                 raise ValueError(f"unknown user {usr!r}")
@@ -379,6 +412,7 @@ class Session:
             return pd.DataFrame()
         m = re.match(r"(?is)^revoke\s+(\w+)\s+on\s+(\w+)\s+from\s+'?(\w+)'?$", s)
         if m:
+            self._require_admin("REVOKE")
             priv, tbl, usr = (m.group(1).lower(), m.group(2), m.group(3))
             self._grants().get(usr, {}).get(tbl, set()).discard(priv)
             return pd.DataFrame()
@@ -391,6 +425,7 @@ class Session:
         m = re.match(r"(?is)^delete\s+from\s+(\w+)\s+where\s+(.*)$", s)
         if m:
             name, pred = m.group(1), m.group(2)
+            self._check_table_priv(name, "insert")
             cols = ", ".join(self.tables[name].column_names())
             kept = self._execute_base(
                 f"select {cols} from {name} "
@@ -401,6 +436,7 @@ class Session:
                      s)
         if m:
             name, sets, pred = m.group(1), m.group(2), m.group(3)
+            self._check_table_priv(name, "insert")
             assigns = {}
             for part in self._split_top(sets):
                 col, _, expr = part.partition("=")
@@ -470,22 +506,54 @@ class Session:
         return MANAGER.admit(gname, 0,
                              timeout_s=CONFIG.admission_timeout_s)
 
+    def _governed(self) -> bool:
+        """True when this session's user is subject to grant checks
+        (registered, non-admin). `default` is the admin identity; unknown
+        users are ungoverned (single-tenant compatibility mode)."""
+        return self.user != "default" and self.user in self._auth_users()
+
+    def _require_admin(self, what: str) -> None:
+        if self._governed():
+            raise PermissionError(
+                f"user {self.user!r} may not run {what} (admin only)")
+
+    def _check_table_priv(self, table: str, priv: str) -> None:
+        """Grant gate for mutation/DDL statements against one table."""
+        if not self._governed():
+            return
+        if priv not in self._grants().get(self.user, {}).get(table, ()):
+            raise PermissionError(
+                f"user {self.user!r} lacks {priv.upper()} on {table!r}")
+
+    def _check_select_text(self, sel: str) -> None:
+        """SELECT-grant check for a statement-embedded query (CTAS source,
+        INSERT..SELECT source, MV definition): the embedded read runs with
+        the CALLER's grants."""
+        if not self._governed():
+            return
+        self._check_select_priv(self.plan(sel))
+
     def _check_select_priv(self, plan) -> None:
         """Enforce table-level SELECT grants for non-default users that
-        exist in the user registry (default/admin sessions bypass)."""
-        if self.user == "default" or self.user not in self._auth_users():
+        exist in the user registry (default/admin sessions bypass).
+
+        MV storage scans (`__mv_*`) — whether from the transparent rewrite
+        or from naming the storage table directly — are checked against the
+        MV's BASE tables: a grant on the base is what authorizes reading
+        any materialization derived from it (the reference checks rewritten
+        plans against the query's original tables)."""
+        if not self._governed():
             return
         from starrocks_tpu.exec.plan import Scan
         mine = self._grants().get(self.user, {})
+        mv_bases = {mv.table_name: tuple(mv.base_tables)
+                    for mv in self.mviews.values()}
         for node in plan.walk():
             if isinstance(node, Scan):
-                base = node.table
-                if base.startswith("__mv_"):
-                    continue        # rewritten MV scan: definition already
-                                    # checked against its base at create
-                if "select" not in mine.get(base, ()):
-                    raise PermissionError(
-                        f"user {self.user!r} lacks SELECT on {base!r}")
+                for base in mv_bases.get(node.table, (node.table,)):
+                    if "select" not in mine.get(base, ()):
+                        raise PermissionError(
+                            f"user {self.user!r} lacks SELECT on {base!r}")
 
     @staticmethod
     def _split_top(text: str) -> list:
@@ -632,6 +700,10 @@ class Session:
             gate.release()
 
     def _sql_admitted(self, text: str):
+        with self._lock.read():
+            return self._sql_locked(text)
+
+    def _sql_locked(self, text: str):
         import time
         from starrocks_tpu.utils.metrics import AUDIT, REGISTRY, AuditRecord
         from starrocks_tpu.config import CONFIG

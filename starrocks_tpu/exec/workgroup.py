@@ -63,6 +63,11 @@ class _GroupState:
         self.tracker = parent.child(f"group:{group.name}",
                                     group.mem_limit_bytes)
         self.running = 0
+        self._rlock = threading.Lock()   # guards the `running` gauge
+
+    def bump(self, delta: int) -> None:
+        with self._rlock:
+            self.running += delta
 
 
 class WorkGroupManager:
@@ -73,11 +78,23 @@ class WorkGroupManager:
         self._lock = threading.Lock()
         self._groups: dict[str, _GroupState] = {}
 
-    def create(self, group: ResourceGroup, replace: bool = False) -> None:
+    def create(self, group: ResourceGroup, replace: bool = False,
+               if_not_exists: bool = False) -> None:
+        """Register a group. Duplicate names raise unless `if_not_exists`
+        (no-op) or `replace` (swap). A replaced group's tracker is closed so
+        its reservation leaves the process tracker; in-flight admissions
+        hold a reference to the old _GroupState and release against it
+        harmlessly (release on a closed tracker is a no-op decrement)."""
         with self._lock:
-            if group.name in self._groups and not replace:
-                raise ValueError(f"resource group {group.name!r} exists")
+            old = self._groups.get(group.name)
+            if old is not None:
+                if if_not_exists:
+                    return
+                if not replace:
+                    raise ValueError(f"resource group {group.name!r} exists")
             self._groups[group.name] = _GroupState(group, process_tracker())
+        if old is not None:
+            old.tracker.close()
 
     def drop(self, name: str) -> None:
         with self._lock:
@@ -86,18 +103,22 @@ class WorkGroupManager:
             st.tracker.close()
 
     def get(self, name: str) -> Optional[ResourceGroup]:
-        st = self._groups.get(name)
-        return st.group if st else None
+        with self._lock:
+            st = self._groups.get(name)
+            return st.group if st else None
 
     def list(self) -> list:
-        return [st.group for st in self._groups.values()]
+        with self._lock:
+            return [st.group for st in self._groups.values()]
 
     def classify(self, user: Optional[str], query_type: str
                  ) -> Optional[str]:
         """Most specific matching group's name (None = ungoverned)."""
         best, best_score = None, -1
-        for name, st in self._groups.items():
-            s = st.group.matches(user, query_type)
+        with self._lock:
+            items = [(name, st.group) for name, st in self._groups.items()]
+        for name, group in items:
+            s = group.matches(user, query_type)
             if s > best_score:
                 best, best_score = name, s
         return best if best_score >= 0 else None
@@ -106,10 +127,13 @@ class WorkGroupManager:
               timeout_s: float = 30.0) -> "_Admission":
         """Admission token for a query charged `est_bytes` against the
         group's quota; raises on big-query rejection, concurrency timeout,
-        or group-memory exhaustion."""
-        if name is None or name not in self._groups:
+        or group-memory exhaustion. The group state is snapshotted under
+        the manager lock; the (possibly long) semaphore wait happens
+        outside it."""
+        with self._lock:
+            st = self._groups.get(name) if name is not None else None
+        if st is None:
             return _Admission(None, 0)
-        st = self._groups[name]
         g = st.group
         if g.big_query_mem_bytes is not None \
                 and est_bytes > g.big_query_mem_bytes:
@@ -132,7 +156,7 @@ class WorkGroupManager:
             from starrocks_tpu.utils.metrics import REGISTRY
             REGISTRY.inc("wg_mem_rejected_total")
             raise
-        st.running += 1
+        st.bump(1)
         return _Admission(st, est_bytes)
 
 
@@ -150,7 +174,7 @@ class _Admission:
             st.tracker.release(self._bytes)
             if st.sem is not None:
                 st.sem.release()
-            st.running -= 1
+            st.bump(-1)
         return False
 
 
@@ -182,7 +206,7 @@ def plan_mem_estimate(plan, tables: dict) -> int:
 # -- DDL front-end -----------------------------------------------------------
 
 _CREATE = re.compile(
-    r"(?is)^create\s+resource\s+group\s+(?:if\s+not\s+exists\s+)?(\w+)"
+    r"(?is)^create\s+resource\s+group\s+(if\s+not\s+exists\s+)?(\w+)"
     r"(?:\s+to\s*\(([^)]*)\))?\s*with\s*\(([^)]*)\)$")
 _DROP = re.compile(r"(?is)^drop\s+resource\s+group\s+(?:if\s+exists\s+)?(\w+)$")
 _SHOW = re.compile(r"(?is)^show\s+resource\s+groups?$")
@@ -200,11 +224,13 @@ def _kv(body: str) -> dict:
 
 
 def match_ddl(text: str):
-    """('create', ResourceGroup) | ('drop', name) | ('show',) | None."""
+    """('create', ResourceGroup, if_not_exists) | ('drop', name) |
+    ('show',) | None."""
     s = text.strip().rstrip(";")
     m = _CREATE.match(s)
     if m:
-        name, cls_body, props = m.group(1), m.group(2) or "", m.group(3)
+        ine = m.group(1) is not None
+        name, cls_body, props = m.group(2), m.group(3) or "", m.group(4)
         cls = _kv(cls_body)
         kv = _kv(props)
         users = tuple(u.strip() for u in cls.get("user", "").split("|")
@@ -221,7 +247,7 @@ def match_ddl(text: str):
             big_query_mem_bytes=(int(float(kv["big_query_mem_bytes"]))
                                  if "big_query_mem_bytes" in kv else None),
             users=users, query_types=qtypes)
-        return ("create", g)
+        return ("create", g, ine)
     m = _DROP.match(s)
     if m:
         return ("drop", m.group(1))

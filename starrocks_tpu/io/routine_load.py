@@ -55,17 +55,27 @@ class RoutineLoadJob:
         return read_json(path, **self.load_kwargs)
 
     def poll_once(self) -> int:
-        """Ingest all new matching files; returns rows appended."""
+        """Ingest all new matching files; returns rows appended.
+
+        The read-modify-write (snapshot base table -> merge -> register)
+        runs under the session's WRITE lock: the daemon-thread variant
+        races foreground queries/mutations otherwise (a query planned
+        between the tables swap and the catalog/placement rebuild would
+        mix catalog generations — r4 advisor finding)."""
         if self.state != "RUNNING":
             return 0
         fresh = sorted(set(glob.glob(self.pattern)) - self.consumed)
         if not fresh:
             return 0
+        parts = [self._read(p) for p in fresh]   # file IO outside the lock
+        with self.session._lock.write():
+            return self._merge_locked(fresh, parts)
+
+    def _merge_locked(self, fresh, parts) -> int:
         import numpy as np
         from starrocks_tpu.column import dtypes as dt
         from starrocks_tpu.column.column import Column, Table
 
-        parts = [self._read(p) for p in fresh]
         base = self.session.tables.get(self.table)
         tables = ([base] if base is not None else []) + parts
         names = tables[0].column_names()

@@ -81,7 +81,11 @@ class MemTracker:
                 node.consumption = max(0, node.consumption - nbytes)
 
     def close(self) -> None:
-        """Release everything this subtree still holds and detach."""
+        """Release everything this subtree still holds and detach. The
+        tracker stays usable as a standalone node: late release()/consume()
+        calls from admissions that still hold a reference (e.g. a resource
+        group replaced mid-query) only touch this orphan, never the
+        ancestors it already settled with."""
         with self._lock:
             held = self.consumption
             node = self.parent
@@ -94,6 +98,7 @@ class MemTracker:
                 self.parent.children.remove(self)
             except ValueError:
                 pass
+        self.parent = None
 
     def render(self, indent: int = 0) -> str:
         lim = f"/{self.limit / 1e6:.0f}MB" if self.limit is not None else ""

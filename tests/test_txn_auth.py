@@ -78,3 +78,76 @@ def test_grant_to_unknown_user_fails():
     s = Session({"t": _t()})
     with pytest.raises(ValueError):
         s.sql("grant select on t to 'ghost'")
+
+
+def _shared(admin, tables, user):
+    s = Session(tables, user=user)
+    s._users = admin._auth_users()
+    s._grant_map = admin._grants()
+    s.mviews = admin.mviews          # one server: shared MV registry
+    return s
+
+
+def test_mv_scan_checks_base_grants():
+    tables = {"secret": _t()}
+    admin = Session(tables)
+    admin.sql("create materialized view m as "
+              "select sum(v) sv from secret group by k")
+    admin.sql("create user 'eve'")
+    eve = _shared(admin, tables, "eve")
+    # no grant on the base: neither the rewrite target nor the storage
+    # table name grants access
+    with pytest.raises(PermissionError):
+        eve.sql("select * from __mv_m")
+    with pytest.raises(PermissionError):
+        eve.sql("select sum(v) sv from secret group by k")
+    admin.sql("grant select on secret to 'eve'")
+    assert len(eve.sql("select * from __mv_m")) == 4
+
+
+def test_ddl_paths_enforce_grants():
+    tables = {"t": _t(), "secret": _t()}
+    admin = Session(tables)
+    admin.sql("create user 'bob'")
+    admin.sql("grant select on t to 'bob'")
+    bob = _shared(admin, tables, "bob")
+    # embedded SELECTs run with the caller's grants
+    with pytest.raises(PermissionError):
+        bob.sql("create table leak as select * from secret")
+    with pytest.raises(PermissionError):
+        bob.sql("insert into t select k, v from secret")
+    # mutations need the insert grant; DROP needs the drop grant
+    with pytest.raises(PermissionError):
+        bob.sql("insert into t (k, v) values (9, 90)")
+    with pytest.raises(PermissionError):
+        bob.sql("delete from t where k = 0")
+    with pytest.raises(PermissionError):
+        bob.sql("update t set v = 0 where k = 0")
+    with pytest.raises(PermissionError):
+        bob.sql("drop table t")
+    admin.sql("grant insert on t to 'bob'")
+    bob.sql("insert into t (k, v) values (9, 90)")
+    assert admin.sql("select count(*) c1 from t").c1[0] == 5
+    bob.sql("delete from t where k = 9")
+    # distinct text: the result cache is per-session and admin's session
+    # saw no mutation (one server = one session; the shared-dict pattern
+    # here is a test convenience)
+    assert admin.sql("select count(*) c2 from t").c2[0] == 4
+    # grant administration is admin-only
+    with pytest.raises(PermissionError):
+        bob.sql("grant select on secret to 'bob'")
+    with pytest.raises(PermissionError):
+        bob.sql("create user 'mallory'")
+    with pytest.raises(PermissionError):
+        bob.sql("revoke select on t from 'bob'")
+
+
+def test_insert_select_respects_source_grant():
+    tables = {"t": _t(), "src": _t()}
+    admin = Session(tables)
+    admin.sql("create user 'carol'")
+    admin.sql("grant insert on t to 'carol'")
+    admin.sql("grant select on src to 'carol'")
+    carol = _shared(admin, tables, "carol")
+    carol.sql("insert into t select k + 100, v from src")
+    assert admin.sql("select count(*) c from t").c[0] == 8
