@@ -18,8 +18,13 @@ chip beats the linearly-scaled 48-core reference cluster at this SF.
 Env knobs: SUITE_SF (tpch, default 1.0), SSB_SF (default 1.0), TPCDS_SF
 (default 0.1), BENCH_OOC_SF (default 2.0), BENCH_SUITE/BENCH_SSB/BENCH_TPCDS/
 BENCH_OOC=0 to skip sections, BENCH_BUDGET_S global wall budget (default
-3000 — generation, compiles and trials all count against it; phases are
+1250 — generation, compiles and trials all count against it; phases are
 skipped, never truncated mid-JSON, when it runs low).
+
+Cold-compile control: benchmarks/converged/*.json persist each query's
+converged capacities (exec/plan.py export_converged) so a fresh process
+jits the whole-query frozen module immediately — with the persistent XLA
+compile cache warm, a full suite runs in minutes, not hours.
 """
 
 import json
@@ -30,11 +35,36 @@ import time
 import numpy as np
 
 _T0 = time.time()
-_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+# default budget must sit WELL below the driver's external kill timeout
+# (r3+r4 artifacts died rc=124 around ~1600s wall): phases are only gated
+# BETWEEN units of work, so the budget needs headroom for one worst-case
+# compile overshoot on top of everything already spent
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "1250"))
 
 
 def _remaining() -> float:
     return _BUDGET - (time.time() - _T0)
+
+
+_CONVERGED_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "converged")
+
+
+def _load_manifest(label: str) -> dict:
+    try:
+        with open(os.path.join(_CONVERGED_DIR, f"{label}.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_manifest(label: str, data: dict) -> None:
+    try:
+        os.makedirs(_CONVERGED_DIR, exist_ok=True)
+        with open(os.path.join(_CONVERGED_DIR, f"{label}.json"), "w") as f:
+            json.dump(data, f, sort_keys=True)
+    except OSError:
+        pass
 
 
 def _timed(fn):
@@ -131,19 +161,40 @@ def bench_q6_micro(lineitem_raw):
 
 
 def _run_suite(session, queries, base, trials, label, order=None,
-               min_remaining=240.0):
-    # min_remaining must cover one WORST-CASE cold query (compile-cache
-    # miss ~200s), not an average one: the budget is only checked between
-    # queries, and an overshoot past the driver's hard timeout truncates
-    # the artifact (the r3 rc=124 failure mode)
-    """Shared suite loop: per query run cold (eager convergence), once more
-    (whole-query frozen compile), then `trials` timed runs. Returns
-    (per_query dict, total_ms, ran, skipped)."""
+               manifest_label=None):
+    """Shared suite loop. Per query: seed the plan's converged capacities
+    from the persisted manifest (benchmarks/converged/<label>.json) so the
+    FIRST run executes the frozen whole-query module — usually a
+    persistent-compile-cache hit — instead of paying operator-at-a-time
+    eager convergence (the r3/r4 dominant cold cost); then one more run
+    (now warm), then `trials` timed runs. Queries without a manifest entry
+    converge eagerly and are written back to the manifest.
+
+    Budget gates are per query and depend on the expected worst case:
+    a manifest-seeded query costs one frozen compile (<= ~60s observed);
+    an unseeded one can cost minutes of eager convergence, so it needs far
+    more headroom (the r3/r4 rc=124 failure mode was exactly this
+    overshoot past the driver's hard timeout)."""
+    from starrocks_tpu.exec import plan as P
+
     results, meta = {}, {}
     total, ran, skipped = 0.0, 0, []
     names = order or list(queries)
+    manifest = _load_manifest(manifest_label) if manifest_label else {}
+    manifest_dirty = False
     for name in names:
-        if _remaining() < min_remaining:
+        try:
+            plan = session.plan(queries[name])
+            seeded = (not getattr(plan, "_converged", False)
+                      and P.import_converged(plan, manifest.get(name)))
+        except Exception as e:
+            print(f"# {label} {name} PLAN FAILED: {type(e).__name__} "
+                  f"{str(e)[:120]}", flush=True)
+            results[name] = None
+            continue
+        need = 120.0 if (seeded or getattr(plan, "_converged", False)) \
+            else 300.0
+        if _remaining() < need:
             skipped = [n for n in names if n not in results]
             print(f"# {label}: budget low, skipping {len(skipped)} queries",
                   flush=True)
@@ -160,19 +211,25 @@ def _run_suite(session, queries, base, trials, label, order=None,
                   f"{str(e)[:120]}", flush=True)
             results[name] = None
             continue
-        plan = session.plan(sql)
         frozen = bool(plan.__dict__.get("_frozen_jits")) \
             and not getattr(plan, "_frozen_off", False)
         results[name] = round(ms, 1)
         meta[name] = {"cold_s": round(cold_s, 1),
                       "frozen_compile_s": round(frozen_s, 1),
-                      "frozen": frozen,
+                      "frozen": frozen, "manifest": seeded,
                       "modules": len(plan.__dict__.get("_frozen_jits") or ())}
         total += ms
         ran += 1
         print(f"# {label} {name}: {ms:8.1f} ms (cold {cold_s:.1f}s, "
-              f"frozen-compile {frozen_s:.1f}s, frozen={frozen})",
-              flush=True)
+              f"frozen-compile {frozen_s:.1f}s, frozen={frozen}, "
+              f"manifest={seeded})", flush=True)
+        if manifest_label and not seeded:
+            exp = P.export_converged(plan)
+            if exp is not None and manifest.get(name) != exp:
+                manifest[name] = exp
+                manifest_dirty = True
+    if manifest_dirty:
+        _save_manifest(manifest_label, manifest)
     return results, meta, total, ran, skipped
 
 
@@ -194,7 +251,8 @@ def bench_tpch_suite(raw):
     base = _relay_base()
     order = [f"q{i}" for i in range(1, 23)]
     results, meta, total, ran, skipped = _run_suite(
-        session, QUERIES, base, trials, f"tpch sf{sf}", order)
+        session, QUERIES, base, trials, f"tpch sf{sf}", order,
+        manifest_label=f"tpch_sf{sf}")
     _emit({"metric": f"tpch_sf{sf}_per_query_ms", "value": results,
            "unit": "ms", "relay_roundtrip_ms": round(base * 1e3, 2),
            "trials": trials, "compile": meta, "skipped": skipped})
@@ -221,7 +279,8 @@ def bench_ssb():
     session = Session({"lineorder_flat": table})
     base = _relay_base()
     results, meta, total, ran, skipped = _run_suite(
-        session, QUERIES, base, trials, f"ssb sf{sf}")
+        session, QUERIES, base, trials, f"ssb sf{sf}",
+        manifest_label=f"ssb_sf{sf}")
     ref_ms = 992.0 * (sf / 100.0)
     _emit({"metric": f"ssb_sf{sf}_suite_total", "value": round(total),
            "unit": "ms", "queries_timed": ran, "per_query_ms": results,
@@ -250,7 +309,8 @@ def bench_tpcds():
     base = _relay_base()
     order = sorted(QUERIES, key=lambda s: (int(s[1:].rstrip("b")), s))
     results, meta, total, ran, skipped = _run_suite(
-        session, QUERIES, base, trials, f"tpcds sf{sf}", order)
+        session, QUERIES, base, trials, f"tpcds sf{sf}", order,
+        manifest_label=f"tpcds_sf{sf}")
     ref_ms = 314_000.0 * (sf / 1000.0)
     _emit({"metric": f"tpcds_sf{sf}_suite_total", "value": round(total),
            "unit": "ms", "queries_timed": ran, "per_query_ms": results,
@@ -314,9 +374,9 @@ def main():
         # process never complete — a fresh process gets a fresh client, so
         # wait out the wedge once and re-exec
         if os.environ.get("BENCH_RELAY_RETRY") != "1":
-            print("# device readback wedged; waiting 600s then retrying "
+            print("# device readback wedged; waiting 240s then retrying "
                   "in a fresh process", flush=True)
-            time.sleep(600)
+            time.sleep(240)
             os.environ["BENCH_RELAY_RETRY"] = "1"
             os.execv(sys.executable, [sys.executable, __file__])
         _emit({"metric": "q6_filter_agg_rows_per_s_per_chip", "value": 0,

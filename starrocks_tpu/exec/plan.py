@@ -1269,6 +1269,49 @@ def execute(plan: PlanNode, tables: dict[str, Table], max_retries: int = None) -
     return out
 
 
+def plan_signature(plan: PlanNode) -> str:
+    """Cheap structural fingerprint of a plan: node type names in walk
+    order. Used to validate persisted capacity manifests — a planner change
+    that reshapes the tree invalidates the manifest (a stale-but-matching
+    manifest still degrades gracefully: wrong sizes trip the frozen flags
+    and the query refits eagerly)."""
+    import hashlib
+    raw = "|".join(type(n).__name__ for n in plan.walk())
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
+def export_converged(plan: PlanNode):
+    """Converged capacities as a JSON-able list keyed by each node's
+    position in walk order (node_id is a process-global counter, unstable
+    across processes). Returns None until the plan has converged."""
+    if not getattr(plan, "_converged", False):
+        return None
+    pos = {n.node_id: i for i, n in enumerate(plan.walk())}
+    out = []
+    for (nid, sub), val in getattr(plan, "_converged_caps", {}).items():
+        if nid in pos:
+            out.append([pos[nid], sub, int(val)])
+    return {"sig": plan_signature(plan), "caps": out}
+
+
+def import_converged(plan: PlanNode, manifest) -> bool:
+    """Restore a prior process's converged capacities so the FIRST
+    execution runs the frozen whole-query module (one compile, usually a
+    persistent-cache hit) instead of paying operator-at-a-time eager
+    convergence — the r3/r4 bench's dominant cold cost. Returns False on
+    signature mismatch (manifest ignored)."""
+    if not manifest or manifest.get("sig") != plan_signature(plan):
+        return False
+    nodes = list(plan.walk())
+    caps = {}
+    for idx, sub, val in manifest.get("caps", ()):
+        if 0 <= idx < len(nodes):
+            caps[(nodes[idx].node_id, sub)] = int(val)
+    plan._converged_caps = caps
+    plan._converged = True
+    return True
+
+
 def execute_traced(plan: PlanNode, tables: dict[str, Table],
                    max_retries: int = None) -> Table:
     """Whole-plan single-program execution (one jitted module) with a host

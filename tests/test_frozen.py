@@ -70,3 +70,41 @@ def test_group_concat_stays_eager(tpch_tables):
         assert (a["gc"] == b["gc"]).all()
     finally:
         set_config(enable_result_cache=True)
+
+
+def test_converged_manifest_roundtrip(tpch_tables):
+    """export_converged/import_converged: a fresh plan seeded from a prior
+    process's manifest runs the frozen whole-query module on its FIRST
+    execution (the bench's cold-cost eliminator), with identical rows."""
+    import json
+
+    donor = tpch_plans.build("q3", 0.01)
+    want = P.execute(donor, tpch_tables).to_pandas()
+    manifest = json.loads(json.dumps(P.export_converged(donor)))  # disk trip
+    assert manifest and manifest["caps"]
+
+    fresh = tpch_plans.build("q3", 0.01)   # new node_ids (new process analog)
+    assert P.import_converged(fresh, manifest)
+    got = P.execute(fresh, tpch_tables).to_pandas()
+    assert fresh.__dict__.get("_frozen_jits"), \
+        "manifest-seeded first run should take the frozen path"
+    assert_rows_equal(got, want)
+
+    # signature mismatch -> manifest rejected, eager convergence still works
+    other = tpch_plans.build("q6", 0.01)
+    assert not P.import_converged(other, manifest)
+    assert not getattr(other, "_converged", False)
+
+
+def test_manifest_stale_sizes_fall_back(tpch_tables):
+    """A manifest whose sizes are too small for the data trips the frozen
+    flags and the query refits eagerly — graceful, exact."""
+    donor = tpch_plans.build("q3", 0.01)
+    want = P.execute(donor, tpch_tables).to_pandas()
+    manifest = P.export_converged(donor)
+    shrunk = {"sig": manifest["sig"],
+              "caps": [[i, s, max(16, v // 64)] for i, s, v in manifest["caps"]]}
+    fresh = tpch_plans.build("q3", 0.01)
+    assert P.import_converged(fresh, shrunk)
+    got = P.execute(fresh, tpch_tables).to_pandas()
+    assert_rows_equal(got, want)
