@@ -223,7 +223,9 @@ def _run_suite(session, queries, base, trials, label, order=None,
         print(f"# {label} {name}: {ms:8.1f} ms (cold {cold_s:.1f}s, "
               f"frozen-compile {frozen_s:.1f}s, frozen={frozen}, "
               f"manifest={seeded})", flush=True)
-        if manifest_label and not seeded:
+        if manifest_label:
+            # export even when seeded: a run can enrich the entry (e.g. the
+            # result_m bound recorded by the discovery run)
             exp = P.export_converged(plan)
             if exp is not None and manifest.get(name) != exp:
                 manifest[name] = exp

@@ -291,7 +291,12 @@ class Table:
         wall time for wide results.
         """
         import pandas as pd
+        from starrocks_tpu.utils.dispatch import EXEC_LOCK
 
+        with EXEC_LOCK:
+            return self._to_pandas_locked(limit, pd)
+
+    def _to_pandas_locked(self, limit, pd):
         if self.live is None:
             compacted, k = self, self.nrows
         else:
@@ -305,28 +310,8 @@ class Table:
                 for n, c in compacted.columns.items()})
         m = min(compacted.nrows, max(1, 1 << (k - 1).bit_length()))
         if _pack_supported():
-            from starrocks_tpu.ops import float_bits
-            pair_f64 = not float_bits.f64_bitcast_ok()
             buf = np.asarray(_pack_to_bytes(compacted, m))
-            out = {}
-            off = 0
-            for n, c in compacted.columns.items():
-                nb = m * c.data.dtype.itemsize
-                raw = buf[off:off + nb].tobytes()
-                if c.data.dtype == jnp.float64 and pair_f64:
-                    hi = np.frombuffer(raw[:m * 4], np.float32)
-                    lo = np.frombuffer(raw[m * 4:], np.float32)
-                    data = float_bits.merge_pair_np(hi, lo)[:k]
-                else:
-                    data = np.frombuffer(raw, dtype=c.data.dtype)[:k]
-                off += nb
-                valid = None
-                if c.valid is not None:
-                    valid = buf[off:off + m][:k].astype(bool)
-                    off += m
-                out[n] = Column(data, valid, c.dtype, c.dict_id,
-                                c.vrange).to_numpy(None)
-            return pd.DataFrame(out)
+            return _decode_packed(buf, result_spec(compacted), m, k)
         out = {}
         for n, c in compacted.columns.items():
             head = Column(c.data[:k],
@@ -388,6 +373,55 @@ def _pack_to_bytes(table: Table, m: int) -> jax.Array:
         if c.valid is not None:
             parts.append(c.valid[:m].astype(jnp.uint8))
     return jnp.concatenate(parts)
+
+
+def result_spec(table: Table):
+    """Host-side result schema: everything `_decode_packed` needs to turn a
+    packed byte buffer back into a DataFrame. Shapes/dtypes/dictionaries
+    are static, so this can be captured at TRACE time — which is what lets
+    a whole-query frozen module return only a byte buffer (exec/plan.py
+    execute_df) with no device-side Table surviving to the host."""
+    return [(n, np.dtype(c.data.dtype), c.valid is not None, c.dtype,
+             c.dict_id, c.vrange) for n, c in table.columns.items()]
+
+
+def _decode_packed(buf: np.ndarray, spec, m: int, k: int):
+    """Decode a `_pack_to_bytes` buffer of m packed rows into a DataFrame
+    of the first k rows (k = live count; m = pow2-padded transfer rows).
+
+    The frame is built with an explicit object-dtype column Index: pandas
+    3's default arrow-backed string Index construction
+    (ArrowStringArray._from_sequence) segfaults under multi-threaded use in
+    this environment, and result decode runs on server threads."""
+    import pandas as pd
+    from starrocks_tpu.ops import float_bits
+    pair_f64 = not float_bits.f64_bitcast_ok()
+    out = {}
+    off = 0
+    for n, ndt, has_valid, dtype, dict_id, vrange in spec:
+        nb = m * ndt.itemsize
+        raw = buf[off:off + nb].tobytes()
+        if ndt == np.float64 and pair_f64:
+            hi = np.frombuffer(raw[:m * 4], np.float32)
+            lo = np.frombuffer(raw[m * 4:], np.float32)
+            data = float_bits.merge_pair_np(hi, lo)[:k]
+        else:
+            data = np.frombuffer(raw, dtype=ndt)[:k]
+        off += nb
+        valid = None
+        if has_valid:
+            valid = buf[off:off + m][:k].astype(bool)
+            off += m
+        out[n] = Column(data, valid, dtype, dict_id, vrange).to_numpy(None)
+    return pd.DataFrame(out, columns=pd.Index(list(out), dtype=object))
+
+
+def empty_frame(spec):
+    """Zero-row DataFrame with the spec's decoded column dtypes."""
+    import pandas as pd
+    return pd.DataFrame({
+        n: Column(np.empty(0, ndt), None, dtype, dict_id).to_numpy(None)
+        for n, ndt, _hv, dtype, dict_id, _vr in spec})
 
 
 _PACK_OK = None

@@ -112,6 +112,19 @@ class Session:
         from starrocks_tpu.exec.plan import execute
         return execute(plan, self.tables)
 
+    def _execute_df(self, text: str):
+        """Query -> DataFrame. The pure single-chip device path routes
+        through exec.plan.execute_df (whole query + result extraction as
+        one jitted module, one readback); every other configuration
+        executes to a Table and pulls it."""
+        from starrocks_tpu.exec.stream import HostTable
+        if (self.mesh is None
+                and not any(isinstance(t, HostTable)
+                            for t in self.tables.values())):
+            from starrocks_tpu.exec.plan import execute_df
+            return execute_df(self.plan(text), self.tables)
+        return self.execute(text).to_pandas()
+
     # -- catalog mutation (DDL analog: LocalMetastore + bulk-load sinks) ----
     def register(self, name: str, table: Table) -> None:
         """Register (or replace) a table; re-derives catalog stats (the
@@ -708,8 +721,16 @@ class Session:
         from starrocks_tpu.utils.metrics import AUDIT, REGISTRY, AuditRecord
         from starrocks_tpu.config import CONFIG
         # privilege check BEFORE the result cache: a revoked grant must
-        # also revoke access to previously-cached results
-        self._check_select_priv(self.plan(text))
+        # also revoke access to previously-cached results. Parse/plan/
+        # privilege failures are audited like execution failures (the
+        # reference's audit log records every statement outcome).
+        try:
+            self._check_select_priv(self.plan(text))
+        except Exception as e:
+            REGISTRY.inc("queries_failed_total")
+            AUDIT.record(AuditRecord(time.time(), text.strip()[:500], 0.0, 0,
+                                     ok=False, error=str(e)[:200]))
+            raise
         if CONFIG.enable_result_cache:
             hit = self._result_cache.get(text)
             if hit is not None:
@@ -728,7 +749,7 @@ class Session:
         t0 = time.perf_counter()
         try:
             with (adm if adm is not None else _NullCtx()):
-                df = self.execute(text).to_pandas()
+                df = self._execute_df(text)
         except Exception as e:
             REGISTRY.inc("queries_failed_total")
             AUDIT.record(AuditRecord(time.time(), text.strip()[:500],

@@ -108,3 +108,51 @@ def test_manifest_stale_sizes_fall_back(tpch_tables):
     assert P.import_converged(fresh, shrunk)
     got = P.execute(fresh, tpch_tables).to_pandas()
     assert_rows_equal(got, want)
+
+
+def test_execute_df_packed_single_readback(tpch_tables, tpch_frames):
+    """execute_df: discovery run records the result bound, then the packed
+    frozen module (query + extraction in one program) serves warm runs —
+    rows exactly equal to the plain path and to goldens."""
+    plan = tpch_plans.build("q3", 0.01)
+    d1 = P.execute_df(plan, tpch_tables)            # discovery (eager)
+    assert getattr(plan, "_result_m", None)
+    d2 = P.execute_df(plan, tpch_tables)            # packed frozen
+    assert plan.__dict__.get("_frozen_packed"), \
+        "second run should have compiled the packed frozen module"
+    d3 = P.execute_df(plan, tpch_tables)            # packed, cached
+    want = golden.run("q3", tpch_frames)
+    for got in (d1, d2, d3):
+        got = got.copy()
+        got.columns = list(want.columns)
+        assert_rows_equal(got, want)
+
+
+def test_execute_df_bound_growth(tpch_tables):
+    """If the result outgrows the packed bound, the run stays exact and the
+    bound grows for the next execution."""
+    plan = tpch_plans.build("q3", 0.01)
+    P.execute_df(plan, tpch_tables)
+    plan._result_m = 16                  # force an undersized bound
+    plan._frozen_packed = {}
+    d = P.execute_df(plan, tpch_tables)
+    assert len(d) > 16 or plan._result_m == 16   # grew only if needed
+    d2 = P.execute_df(plan, tpch_tables)
+    assert d2.shape == d.shape
+
+
+def test_execute_df_manifest_seeded(tpch_tables):
+    """Manifest with result_m: a fresh plan's FIRST execute_df run uses the
+    packed frozen module (no eager per-op compiles)."""
+    donor = tpch_plans.build("q1", 0.01)
+    P.execute_df(donor, tpch_tables)
+    want = P.execute_df(donor, tpch_tables)
+    manifest = P.export_converged(donor)
+    assert manifest.get("result_m")
+    fresh = tpch_plans.build("q1", 0.01)
+    assert P.import_converged(fresh, manifest)
+    got = P.execute_df(fresh, tpch_tables)
+    assert fresh.__dict__.get("_frozen_packed"), \
+        "seeded first run should be packed-frozen"
+    assert not fresh.__dict__.get("_op_jits", {})
+    assert_rows_equal(got, want)
