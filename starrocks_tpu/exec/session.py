@@ -237,6 +237,24 @@ class Session:
             job.start()
         return job
 
+    def save_segment(self, name: str, dirpath: str) -> None:
+        """Write a registered table to a persistent columnar segment
+        directory (exec/stream.py HostTable.save: raw column files +
+        validity + dictionaries + zone maps)."""
+        from starrocks_tpu.exec.stream import HostTable
+        t = self.tables[name]
+        ht = t if isinstance(t, HostTable) else HostTable.from_table(t)
+        ht.save(dirpath)
+
+    def load_segment(self, name: str, dirpath: str, mmap: bool = True):
+        """Register a saved segment as a DISK-tier table: with mmap=True
+        its columns stay on disk and stream through the chip blockwise
+        (the third storage level under HBM and host RAM)."""
+        from starrocks_tpu.exec.stream import HostTable
+        t = HostTable.load(dirpath, mmap=mmap)
+        self.register(name, t)
+        return t
+
     def export_parquet(self, select_text: str, path: str) -> None:
         from starrocks_tpu.io.parquet_io import write_parquet
         write_parquet(self.execute(select_text), path)
@@ -250,14 +268,22 @@ class Session:
         import os
         from starrocks_tpu.io.parquet_io import write_parquet
 
+        from starrocks_tpu.exec.stream import HostTable
+
         os.makedirs(dirpath, exist_ok=True)
         manifest = {"version": 1, "tables": {}, "views": dict(self.views),
                     "mviews": {n: mv.sql for n, mv in self.mviews.items()}}
         for name, t in self.tables.items():
-            if not isinstance(t, Table):
-                raise ValueError(
-                    f"save_catalog: {name!r} is not device-resident "
-                    "(host-streamed tables already live on durable storage)")
+            if isinstance(t, HostTable):
+                # disk/host-tier tables checkpoint as columnar segments
+                seg = f"{name}.seg"
+                t.save(os.path.join(dirpath, seg))
+                manifest["tables"][name] = {
+                    "segment": seg, "rows": int(t.nrows),
+                    "schema": {c: str(col.dtype)
+                               for c, col in t.columns.items()},
+                }
+                continue
             f = f"{name}.parquet"
             write_parquet(t, os.path.join(dirpath, f))
             manifest["tables"][name] = {
@@ -278,10 +304,18 @@ class Session:
         import os
         from starrocks_tpu.io.parquet_io import read_parquet
 
+        from starrocks_tpu.exec.stream import HostTable
+
         with open(os.path.join(dirpath, "manifest.json")) as fh:
             manifest = json.load(fh)
-        tables = {name: read_parquet(os.path.join(dirpath, meta["file"]))
-                  for name, meta in manifest["tables"].items()}
+        tables = {}
+        for name, meta in manifest["tables"].items():
+            if "segment" in meta:
+                tables[name] = HostTable.load(
+                    os.path.join(dirpath, meta["segment"]))
+            else:
+                tables[name] = read_parquet(os.path.join(dirpath,
+                                                         meta["file"]))
         s = cls(tables, mesh=mesh, partitioning=partitioning)
         s.views = dict(manifest.get("views", {}))
         from starrocks_tpu.sql.mv import analyze_mv

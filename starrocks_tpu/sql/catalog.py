@@ -136,7 +136,13 @@ class Catalog:
                                                    histogram=_histogram(d),
                                                    null_frac=nf)
                 zone_maps, block_rows = {}, 0
-                if collect_stats and t.nrows >= ZONE_MIN_BLOCKS * ZONE_BLOCK_ROWS:
+                pre = getattr(t, "zmaps", None)
+                if pre:
+                    # segment-manifest zone maps (HostTable.load): skip the
+                    # registration-time full scan — for a memmapped disk
+                    # tier that scan would page the whole table in
+                    zone_maps, block_rows = pre, t.zone_block_rows
+                elif collect_stats and t.nrows >= ZONE_MIN_BLOCKS * ZONE_BLOCK_ROWS:
                     zone_maps, block_rows = _collect_host_zone_maps(t)
                 cat.add(TableMeta(
                     name=name,

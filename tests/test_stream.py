@@ -218,3 +218,47 @@ def test_stream_group_concat(partitioned_join_cfg):
     df = sess.sql("select g, group_concat(distinct s) cs from t "
                   "group by g order by g")
     assert list(df.cs) == ["a, b", "c, d, e"]
+
+
+def test_segment_save_load_roundtrip(tmp_path, tpch_raw, tpch_frames):
+    """Disk tier: a saved columnar segment re-opens memory-mapped and
+    streams through the chip with exact results; precomputed zone maps skip
+    the registration scan; checkpoint/resume covers host-tier tables."""
+    from starrocks_tpu.exec.session import Session
+    from starrocks_tpu.golden import tpch_queries as golden
+    from starrocks_tpu.sql.tpch_sql import QUERIES
+    from test_tpch_suite import assert_rows_equal
+
+    ht = HostTable.from_numpy(tpch_raw["lineitem"], tpch.SCHEMAS["lineitem"])
+    seg = str(tmp_path / "lineitem.seg")
+    ht.save(seg)
+    back = HostTable.load(seg, mmap=True)
+    assert back.nrows == ht.nrows
+    assert getattr(back, "zmaps", None) is not None or ht.nrows < (1 << 18)
+    # memmapped: column data should not be a plain in-RAM ndarray copy
+    assert isinstance(back.columns["l_orderkey"].data, np.memmap)
+
+    tables = {n: tpch.to_tables({n: tpch_raw[n]})[n]
+              for n in tpch_raw if n != "lineitem"}
+    s = Session(dict(tables))
+    s.load_segment("lineitem", seg)
+    got = s.sql(QUERIES["q6"])
+    want = golden.run("q6", tpch_frames)
+    got.columns = list(want.columns)
+    assert_rows_equal(got, want)
+
+    # string dictionary survives the disk trip
+    got2 = s.sql("select l_returnflag, count(*) c from lineitem "
+                 "group by l_returnflag order by l_returnflag")
+    base = Session(tpch.to_tables(tpch_raw)).sql(
+        "select l_returnflag, count(*) c from lineitem "
+        "group by l_returnflag order by l_returnflag")
+    assert_rows_equal(got2, base)
+
+    # checkpoint/resume with a host-tier table goes through segments
+    ckpt = str(tmp_path / "ckpt")
+    s.save_catalog(ckpt)
+    s2 = Session.load_catalog(ckpt)
+    got3 = s2.sql(QUERIES["q6"])
+    got3.columns = list(want.columns)
+    assert_rows_equal(got3, want)
