@@ -1987,4 +1987,137 @@ def plan_ast(stmt, catalog: Catalog, views: Optional[dict] = None) -> PlanNode:
     p = Planner(catalog)
     if views:
         p._ctes = {name: parse(sql) for name, sql in views.items()}
-    return rewrite_eager_count(p.plan_stmt(stmt).plan)
+    return prune_scan_columns(rewrite_eager_count(p.plan_stmt(stmt).plan))
+
+
+# ---------------------------------------------------------------------------
+# Scan column pruning (final physical pass)
+# ---------------------------------------------------------------------------
+
+def _expr_refs(e, out: set) -> None:
+    from starrocks_tpu.exprs.expr import ColRef, Expr
+    if isinstance(e, ColRef):
+        out.add(e.name)
+        return
+    if dataclasses.is_dataclass(e):
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            if isinstance(v, Expr):
+                _expr_refs(v, out)
+            elif isinstance(v, (list, tuple)):
+                for x in v:
+                    if isinstance(x, Expr):
+                        _expr_refs(x, out)
+
+
+def prune_scan_columns(plan):
+    """Restrict every Scan/BlockScan to the columns its ancestors actually
+    consume (the reference's column pruning, done in the optimizer's
+    PruneScanColumnRule; here a top-down pass over the physical plan).
+
+    This is a first-order TPU win, not a memory nicety: adaptive compaction
+    and join-output row movement gather EVERY carried column (~13ms per
+    6M-row lane on v5e through XLA's fixed-cost gather), so a filter chain
+    over a 40-column SSB flat table was paying ~0.5s per compaction for
+    columns the query never touches.
+
+    `needed=None` means "every column the child produces surfaces in the
+    result" (no pruning below until a projection/aggregate boundary resets
+    the frontier). SetOp children are positional — always None. Shared CTE
+    subplans (referenced by >1 parent) get None: their memoized result must
+    serve every consumer."""
+    from starrocks_tpu.exec import plan as P
+
+    refcounts: dict = {}
+    for node in plan.walk():
+        for c in node.children():
+            refcounts[c.node_id] = refcounts.get(c.node_id, 0) + 1
+
+    seen: set = set()
+
+    def down(node, needed):
+        if refcounts.get(node.node_id, 0) > 1:
+            needed = None
+        if node.node_id in seen and needed is not None:
+            return              # already visited with a wider frontier
+        seen.add(node.node_id)
+        if isinstance(node, (P.Scan, P.BlockScan)):
+            if needed is not None:
+                base = (list(node.columns) if node.columns is not None
+                        else None)
+                keep = set(needed)
+                if isinstance(node, P.BlockScan):
+                    keep |= {c for c, _lo, _hi in node.pred_ranges}
+                cols = [c for c in (base or keep) if c in keep] \
+                    if base is not None else sorted(keep)
+                node.columns = tuple(cols) if cols else \
+                    (tuple(base[:1]) if base else None)
+            return
+        if isinstance(node, P.Filter):
+            refs = set()
+            _expr_refs(node.predicate, refs)
+            down(node.child, None if needed is None else (needed | refs))
+        elif isinstance(node, P.Project):
+            refs = set()
+            for v in node.outputs.values():
+                if isinstance(v, str):
+                    refs.add(v)
+                else:
+                    _expr_refs(v, refs)
+            down(node.child, refs)
+        elif isinstance(node, P.AddColumns):
+            refs = set()
+            for v in node.outputs.values():
+                if isinstance(v, str):
+                    refs.add(v)
+                else:
+                    _expr_refs(v, refs)
+            if needed is None:
+                down(node.child, None)
+            else:
+                down(node.child, (needed - set(node.outputs)) | refs)
+        elif isinstance(node, P.HashJoin):
+            pk = set(node.left_keys)
+            bk = set(node.right_keys) | set(node.build_cols)
+            if needed is None:
+                down(node.probe, None)
+            else:
+                down(node.probe, (needed - set(node.build_cols)) | pk)
+            down(node.build, bk)
+        elif isinstance(node, P.Aggregate):
+            down(node.child,
+                 set(node.keys) | {a.col for a in node.aggs if a.col})
+        elif isinstance(node, P.GroupConcat):
+            down(node.child, set(node.keys) | {node.col})
+        elif isinstance(node, P.Sort):
+            keys = {k.name for k in node.keys}
+            down(node.child, None if needed is None else (needed | keys))
+        elif isinstance(node, P.Limit):
+            down(node.child, needed)
+        elif isinstance(node, P.Window):
+            refs = set(node.partition_by) | {k.name for k in node.order_by}
+            for sp in node.specs:
+                if sp.col:
+                    refs.add(sp.col)
+            outs = {sp.out for sp in node.specs}
+            if needed is None:
+                down(node.child, None)
+            else:
+                down(node.child, (needed - outs) | refs)
+        elif isinstance(node, P.SetOp):
+            down(node.left, None)      # positional: arity must not change
+            down(node.right, None)
+        elif isinstance(node, P.CrossJoin):
+            rc = set(node.right_cols)
+            down(node.left, None if needed is None else (needed - rc))
+            down(node.right, rc)
+        elif isinstance(node, P.BroadcastScalar):
+            bc = set(node.columns)
+            down(node.child, None if needed is None else (needed - bc))
+            down(node.source, bc)
+        else:                           # unknown node: give up below it
+            for c in node.children():
+                down(c, None)
+
+    down(plan, None)
+    return plan

@@ -439,10 +439,15 @@ def test_distributed_ssb_full(mesh):
     local = Session({"lineorder_flat": t})
     distd = Session({"lineorder_flat": t}, mesh=mesh,
                     partitioning={"lineorder_flat": ("lo_orderkey",)})
-    for name in QUERIES:
+    for i, name in enumerate(QUERIES):
         got = distd.sql(QUERIES[name])
         want = local.sql(QUERIES[name])
         assert_rows_equal(got, want)
+        if i % 5 == 4:
+            # mid-test compile-state relief: 13 distributed queries in one
+            # process edge toward the jaxlib segfault threshold the
+            # conftest documents (per-test clears can't help inside a loop)
+            jax.clear_caches()
 
 
 # variety: straight joins/aggs, rollup (q18/q36), windows (q51/q67/q89),
@@ -481,9 +486,11 @@ def test_distributed_tpcds_sample(mesh):
     part = {n: facts.get(n, "replicated") for n in tables}
     local = Session(dict(tables))
     distd = Session(dict(tables), mesh=mesh, partitioning=part)
-    for name in TPCDS_DIST_SAMPLE:
+    for i, name in enumerate(TPCDS_DIST_SAMPLE):
         got = distd.sql(QUERIES[name])
         want = local.sql(QUERIES[name])
-        got.columns = [f"c{i}" for i in range(got.shape[1])]
-        want.columns = [f"c{i}" for i in range(want.shape[1])]
+        got.columns = [f"c{j}" for j in range(got.shape[1])]
+        want.columns = [f"c{j}" for j in range(want.shape[1])]
         assert_rows_equal(got, want)
+        if i % 5 == 4:
+            jax.clear_caches()   # see test_distributed_ssb_full note
