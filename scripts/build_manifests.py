@@ -22,9 +22,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    suite = sys.argv[1] if len(sys.argv) > 1 else "tpch"
-    sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
-    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    args = [a for a in sys.argv[1:] if a != "--cpu"]
+    if "--cpu" in sys.argv:
+        # capacity convergence is DATA-dependent, not backend-dependent:
+        # converge cheaply on CPU (fast local compiles), ship the manifest,
+        # and pay the TPU only for the packed-module compile it actually
+        # needs. (The axon sitecustomize pins JAX_PLATFORMS; override
+        # programmatically before first backend use.)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    suite = args[0] if len(args) > 0 else "tpch"
+    sf = float(args[1]) if len(args) > 1 else 1.0
+    only = args[2].split(",") if len(args) > 2 else None
 
     from starrocks_tpu.config import set_config
     from starrocks_tpu.exec import plan as P

@@ -449,6 +449,48 @@ class Session:
             self._require_admin("CREATE USER")
             self._auth_users().add(m.group(1))
             return pd.DataFrame()
+        # roles (the RBAC core of the reference's AuthorizationMgr: grants
+        # attach to roles, roles attach to users; a user's effective grants
+        # are direct ∪ role-carried)
+        m = re.match(r"(?is)^create\s+role\s+(?:if\s+not\s+exists\s+)?'?(\w+)'?$", s)
+        if m:
+            self._require_admin("CREATE ROLE")
+            self._roles().setdefault(m.group(1), {})
+            return pd.DataFrame()
+        m = re.match(r"(?is)^drop\s+role\s+(?:if\s+exists\s+)?'?(\w+)'?$", s)
+        if m:
+            self._require_admin("DROP ROLE")
+            self._roles().pop(m.group(1), None)
+            for rs in self._user_roles().values():
+                rs.discard(m.group(1))
+            return pd.DataFrame()
+        m = re.match(r"(?is)^grant\s+(\w+)\s+on\s+(\w+)\s+to\s+role\s+'?(\w+)'?$", s)
+        if m:
+            self._require_admin("GRANT")
+            priv, tbl, role = (m.group(1).lower(), m.group(2), m.group(3))
+            if role not in self._roles():
+                raise ValueError(f"unknown role {role!r}")
+            self._roles()[role].setdefault(tbl, set()).add(priv)
+            return pd.DataFrame()
+        m = re.match(r"(?is)^revoke\s+(\w+)\s+on\s+(\w+)\s+from\s+role\s+'?(\w+)'?$", s)
+        if m:
+            self._require_admin("REVOKE")
+            priv, tbl, role = (m.group(1).lower(), m.group(2), m.group(3))
+            self._roles().get(role, {}).get(tbl, set()).discard(priv)
+            return pd.DataFrame()
+        m = re.match(r"(?is)^grant\s+'?(\w+)'?\s+to\s+'?(\w+)'?$", s)
+        if m and m.group(1) in self._roles():
+            self._require_admin("GRANT ROLE")
+            role, usr = m.group(1), m.group(2)
+            if usr not in self._auth_users():
+                raise ValueError(f"unknown user {usr!r}")
+            self._user_roles().setdefault(usr, set()).add(role)
+            return pd.DataFrame()
+        m = re.match(r"(?is)^revoke\s+'?(\w+)'?\s+from\s+'?(\w+)'?$", s)
+        if m and m.group(1) in self._roles():
+            self._require_admin("REVOKE ROLE")
+            self._user_roles().get(m.group(2), set()).discard(m.group(1))
+            return pd.DataFrame()
         m = re.match(r"(?is)^grant\s+(\w+)\s+on\s+(\w+)\s+to\s+'?(\w+)'?$", s)
         if m:
             self._require_admin("GRANT")
@@ -540,6 +582,26 @@ class Session:
             self._grant_map = {}
         return self._grant_map
 
+    def _roles(self) -> dict:
+        if not hasattr(self, "_role_map"):
+            self._role_map = {}
+        return self._role_map
+
+    def _user_roles(self) -> dict:
+        if not hasattr(self, "_user_role_map"):
+            self._user_role_map = {}
+        return self._user_role_map
+
+    def _effective_grants(self) -> dict:
+        """table -> priv set for this session's user: direct grants plus
+        the grants of every held role (RBAC resolution)."""
+        out = {t: set(ps)
+               for t, ps in self._grants().get(self.user, {}).items()}
+        for role in self._user_roles().get(self.user, ()):
+            for t, ps in self._roles().get(role, {}).items():
+                out.setdefault(t, set()).update(ps)
+        return out
+
     def _wg_admit(self, query_type: str):
         """Resource-group admission for write-path statements (the select
         path charges its plan estimate in _sql_admitted; writes are
@@ -568,7 +630,7 @@ class Session:
         """Grant gate for mutation/DDL statements against one table."""
         if not self._governed():
             return
-        if priv not in self._grants().get(self.user, {}).get(table, ()):
+        if priv not in self._effective_grants().get(table, ()):
             raise PermissionError(
                 f"user {self.user!r} lacks {priv.upper()} on {table!r}")
 
@@ -592,7 +654,7 @@ class Session:
         if not self._governed():
             return
         from starrocks_tpu.exec.plan import Scan
-        mine = self._grants().get(self.user, {})
+        mine = self._effective_grants()
         mv_bases = {mv.table_name: tuple(mv.base_tables)
                     for mv in self.mviews.values()}
         for node in plan.walk():

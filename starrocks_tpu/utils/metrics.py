@@ -76,13 +76,42 @@ class AuditLog:
 AUDIT = AuditLog()
 
 
-def serve_metrics(port: int = 18030, registry: MetricRegistry = REGISTRY):
-    """Start a background HTTP server exposing /metrics (Prometheus text)
-    and /audit (JSON tail). Returns the server (call .shutdown() to stop)."""
+def serve_metrics(port: int = 18030, registry: MetricRegistry = REGISTRY,
+                  session=None):
+    """Start a background HTTP server exposing /metrics (Prometheus text),
+    /audit (JSON tail), and — when a Session is given — POST /api/query
+    (SQL in the body, JSON rows out: the REST query front door, the analog
+    of the reference's HTTP actions next to its MySQL port). Returns the
+    server (call .shutdown() to stop)."""
     import http.server
     import json
 
     class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            if not self.path.startswith("/api/query") or session is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            sql = self.rfile.read(n).decode("utf-8", "replace")
+            try:
+                df = session.sql(sql)
+                body = json.dumps({
+                    "columns": [str(c) for c in df.columns],
+                    "rows": json.loads(
+                        df.to_json(orient="values", date_format="iso")),
+                }).encode()
+                code = 200
+            except Exception as e:   # surface the engine error as JSON
+                body = json.dumps({"error": f"{type(e).__name__}: {e}"}
+                                  ).encode()
+                code = 400
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path.startswith("/metrics"):
                 body = registry.prometheus_text().encode()

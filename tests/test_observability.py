@@ -185,3 +185,34 @@ def test_admission_control_queues_and_rejects():
         set_config(max_concurrent_queries=old[0], admission_timeout_s=old[1],
                    enable_result_cache=old[2])
         Session._admission = None
+
+
+def test_http_query_endpoint(tpch_tables):
+    """REST query front door: POST /api/query runs SQL through the session
+    and returns JSON rows; errors surface as JSON with HTTP 400."""
+    import json
+    import urllib.request
+
+    from starrocks_tpu.exec.session import Session
+    from starrocks_tpu.utils.metrics import serve_metrics
+
+    s = Session(dict(tpch_tables))
+    srv = serve_metrics(port=0, session=s)
+    try:
+        port = srv.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/query",
+            data=b"select count(*) c from nation", method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["columns"] == ["c"] and out["rows"][0][0] == 25
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/query",
+            data=b"select nope from nation", method="POST")
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"error" in e.read()
+    finally:
+        srv.shutdown()

@@ -151,3 +151,29 @@ def test_insert_select_respects_source_grant():
     carol = _shared(admin, tables, "carol")
     carol.sql("insert into t select k + 100, v from src")
     assert admin.sql("select count(*) c from t").c[0] == 8
+
+
+def test_roles_carry_grants():
+    tables = {"t": _t(), "secret": _t()}
+    admin = Session(tables)
+    admin.sql("create user 'dora'")
+    admin.sql("create role 'analyst'")
+    admin.sql("grant select on t to role 'analyst'")
+    dora = _shared(admin, tables, "dora")
+    dora._role_map = admin._roles()
+    dora._user_role_map = admin._user_roles()
+    with pytest.raises(PermissionError):
+        dora.sql("select k from t")
+    admin.sql("grant 'analyst' to 'dora'")
+    assert len(dora.sql("select k from t")) == 4
+    with pytest.raises(PermissionError):      # role doesn't cover secret
+        dora.sql("select k from secret")
+    admin.sql("revoke 'analyst' from 'dora'")
+    with pytest.raises(PermissionError):
+        dora.sql("select k, v from t")
+    # role administration is admin-only
+    with pytest.raises(PermissionError):
+        dora.sql("create role 'sneaky'")
+    with pytest.raises(PermissionError):
+        dora.sql("grant 'analyst' to 'dora'")
+    admin.sql("drop role 'analyst'")
