@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--cpu"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    converge_only = "--converge-only" in sys.argv
     if "--cpu" in sys.argv:
         # capacity convergence is DATA-dependent, not backend-dependent:
         # converge cheaply on CPU (fast local compiles), ship the manifest,
@@ -76,12 +77,14 @@ def main():
             t1 = time.time()
             session.sql(sql)            # converge (or packed via manifest)
             c1 = time.time() - t1
-            t1 = time.time()
-            session.sql(sql)            # packed compile (or warm)
-            c2 = time.time() - t1
-            t1 = time.time()
-            session.sql(sql)            # warm
-            c3 = time.time() - t1
+            c2 = c3 = 0.0
+            if not converge_only:
+                t1 = time.time()
+                session.sql(sql)        # packed compile (or warm)
+                c2 = time.time() - t1
+                t1 = time.time()
+                session.sql(sql)        # warm
+                c3 = time.time() - t1
             exp = P.export_converged(plan)
             status = "ok"
             if exp is not None and manifest.get(name) != exp:

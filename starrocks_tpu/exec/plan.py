@@ -313,7 +313,14 @@ class _RowChainNode:
         if len(chain) == 1:
             src = self.child.run(ctx)
             out = ctx.op(self, self._pure, src)
-            if type(self).__name__ == "Filter":
+            # frozen mode must consult maybe_compact on EVERY chain node:
+            # eager chain fusion records the compaction under the chain
+            # HEAD's node id, and the head is often an AddColumns/Project —
+            # skipping non-Filters here left frozen/packed modules running
+            # downstream ops at the full uncompacted shape (an SSB group-by
+            # was sorting 6M rows for 100 groups). With no recorded entry
+            # the call is a dict miss, not a kernel.
+            if type(self).__name__ == "Filter" or ctx.frozen:
                 out = ctx.maybe_compact(self, out)
             return out
         src = node.child.run(ctx)
