@@ -100,6 +100,14 @@ def main():
         except Exception as e:
             print(f"# {label} {name} FAILED: {type(e).__name__} "
                   f"{str(e)[:200]}", flush=True)
+        if "--cpu" in sys.argv:
+            # XLA:CPU accumulates LLVM compile state across a suite of
+            # eager convergences until allocation fails; converged sizes
+            # are already exported, so compiled modules are disposable
+            import gc
+            import jax
+            jax.clear_caches()
+            gc.collect()
 
 
 if __name__ == "__main__":

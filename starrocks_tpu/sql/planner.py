@@ -1995,25 +1995,27 @@ def plan_ast(stmt, catalog: Catalog, views: Optional[dict] = None) -> PlanNode:
 # ---------------------------------------------------------------------------
 
 def _expr_refs(e, out: set) -> None:
+    """Collect every ColRef name under `e`, recursing through dataclass
+    fields and arbitrarily nested lists/tuples (Case.branches is a list of
+    (cond, value) TUPLES — a flat walk missed those and pruned columns a
+    CASE arm still reads)."""
     from starrocks_tpu.exprs.expr import ColRef, Expr
     if isinstance(e, ColRef):
         out.add(e.name)
         return
-    if dataclasses.is_dataclass(e):
+    if isinstance(e, (list, tuple)):
+        for x in e:
+            _expr_refs(x, out)
+        return
+    if isinstance(e, Expr) and dataclasses.is_dataclass(e):
         for f in dataclasses.fields(e):
-            v = getattr(e, f.name)
-            if isinstance(v, Expr):
-                _expr_refs(v, out)
-            elif isinstance(v, (list, tuple)):
-                for x in v:
-                    if isinstance(x, Expr):
-                        _expr_refs(x, out)
+            _expr_refs(getattr(e, f.name), out)
 
 
 def prune_scan_columns(plan):
     """Restrict every Scan/BlockScan to the columns its ancestors actually
     consume (the reference's column pruning, done in the optimizer's
-    PruneScanColumnRule; here a top-down pass over the physical plan).
+    PruneScanColumnRule; here a demand-driven pass over the physical plan).
 
     This is a first-order TPU win, not a memory nicety: adaptive compaction
     and join-output row movement gather EVERY carried column (~13ms per
@@ -2021,42 +2023,76 @@ def prune_scan_columns(plan):
     over a 40-column SSB flat table was paying ~0.5s per compaction for
     columns the query never touches.
 
-    `needed=None` means "every column the child produces surfaces in the
-    result" (no pruning below until a projection/aggregate boundary resets
-    the frontier). SetOp children are positional — always None. Shared CTE
-    subplans (referenced by >1 parent) get None: their memoized result must
-    serve every consumer."""
+    Demand propagates as a worklist to fixpoint: a node's frontier is the
+    UNION of every parent's demand (shared CTE subplans serve all their
+    consumers), where `None` means "every column the child produces
+    surfaces in the result" (no pruning below until a projection/aggregate
+    boundary resets the frontier). SetOp children are positional — always
+    None."""
     from starrocks_tpu.exec import plan as P
 
-    refcounts: dict = {}
-    for node in plan.walk():
-        for c in node.children():
-            refcounts[c.node_id] = refcounts.get(c.node_id, 0) + 1
+    acc, nodes = _demand(plan)
+    # phase 2: narrow alias-Projects (the planner materializes EVERY
+    # renamed table column; q21's l2/l3 Projects carried 16 lineitem
+    # columns for a 1-column aggregate), then recompute demand so the
+    # scans see the narrowed frontiers
+    for nid, needed in acc.items():
+        node = nodes[nid]
+        if isinstance(node, P.Project) and needed is not None:
+            kept = {k: v for k, v in node.outputs.items() if k in needed}
+            if kept and len(kept) < len(node.outputs):
+                node.outputs = kept
+    acc, nodes = _demand(plan)
+    for nid, needed in acc.items():
+        node = nodes[nid]
+        if not isinstance(node, (P.Scan, P.BlockScan)) or needed is None:
+            continue
+        base = list(node.columns) if node.columns is not None else None
+        keep = set(needed)
+        if isinstance(node, P.BlockScan):
+            keep |= {c for c, _lo, _hi in node.pred_ranges}
+        cols = [c for c in (base or sorted(keep)) if c in keep] \
+            if base is not None else sorted(keep)
+        node.columns = tuple(cols) if cols else \
+            (tuple(base[:1]) if base else None)
+    return plan
 
-    seen: set = set()
 
-    def down(node, needed):
-        if refcounts.get(node.node_id, 0) > 1:
-            needed = None
-        if node.node_id in seen and needed is not None:
-            return              # already visited with a wider frontier
-        seen.add(node.node_id)
+def _demand(plan):
+    """Worklist fixpoint of per-node column demand (None = all)."""
+    from starrocks_tpu.exec import plan as P
+
+    # acc[node_id]: None = all columns demanded; else a (growing) set
+    acc: dict = {}
+    nodes: dict = {}
+
+    def union(a, b):
+        if a is None or b is None:
+            return None
+        return a | b
+
+    work = [(plan, None)]
+    while work:
+        node, needed = work.pop()
+        nid = node.node_id
+        if nid in acc:
+            merged = union(acc[nid], needed)
+            if merged == acc[nid] or (
+                    merged is not None and acc[nid] is not None
+                    and merged <= acc[nid]):
+                continue
+            acc[nid] = merged
+        else:
+            acc[nid] = needed
+        nodes[nid] = node
+        needed = acc[nid]
         if isinstance(node, (P.Scan, P.BlockScan)):
-            if needed is not None:
-                base = (list(node.columns) if node.columns is not None
-                        else None)
-                keep = set(needed)
-                if isinstance(node, P.BlockScan):
-                    keep |= {c for c, _lo, _hi in node.pred_ranges}
-                cols = [c for c in (base or keep) if c in keep] \
-                    if base is not None else sorted(keep)
-                node.columns = tuple(cols) if cols else \
-                    (tuple(base[:1]) if base else None)
-            return
+            continue
         if isinstance(node, P.Filter):
             refs = set()
             _expr_refs(node.predicate, refs)
-            down(node.child, None if needed is None else (needed | refs))
+            work.append((node.child,
+                         None if needed is None else (needed | refs)))
         elif isinstance(node, P.Project):
             refs = set()
             for v in node.outputs.values():
@@ -2064,7 +2100,7 @@ def prune_scan_columns(plan):
                     refs.add(v)
                 else:
                     _expr_refs(v, refs)
-            down(node.child, refs)
+            work.append((node.child, refs))
         elif isinstance(node, P.AddColumns):
             refs = set()
             for v in node.outputs.values():
@@ -2072,52 +2108,49 @@ def prune_scan_columns(plan):
                     refs.add(v)
                 else:
                     _expr_refs(v, refs)
-            if needed is None:
-                down(node.child, None)
-            else:
-                down(node.child, (needed - set(node.outputs)) | refs)
+            work.append((node.child, None if needed is None
+                         else (needed - set(node.outputs)) | refs))
         elif isinstance(node, P.HashJoin):
             pk = set(node.left_keys)
-            bk = set(node.right_keys) | set(node.build_cols)
-            if needed is None:
-                down(node.probe, None)
-            else:
-                down(node.probe, (needed - set(node.build_cols)) | pk)
-            down(node.build, bk)
+            work.append((node.probe, None if needed is None
+                         else (needed - set(node.build_cols)) | pk))
+            work.append((node.build,
+                         set(node.right_keys) | set(node.build_cols)))
         elif isinstance(node, P.Aggregate):
-            down(node.child,
-                 set(node.keys) | {a.col for a in node.aggs if a.col})
+            work.append((node.child,
+                         set(node.keys) | {a.col for a in node.aggs
+                                           if a.col}))
         elif isinstance(node, P.GroupConcat):
-            down(node.child, set(node.keys) | {node.col})
+            work.append((node.child, set(node.keys) | {node.col}))
         elif isinstance(node, P.Sort):
             keys = {k.name for k in node.keys}
-            down(node.child, None if needed is None else (needed | keys))
+            work.append((node.child,
+                         None if needed is None else (needed | keys)))
         elif isinstance(node, P.Limit):
-            down(node.child, needed)
+            work.append((node.child, needed))
         elif isinstance(node, P.Window):
             refs = set(node.partition_by) | {k.name for k in node.order_by}
             for sp in node.specs:
                 if sp.col:
                     refs.add(sp.col)
             outs = {sp.out for sp in node.specs}
-            if needed is None:
-                down(node.child, None)
-            else:
-                down(node.child, (needed - outs) | refs)
+            work.append((node.child, None if needed is None
+                         else (needed - outs) | refs))
         elif isinstance(node, P.SetOp):
-            down(node.left, None)      # positional: arity must not change
-            down(node.right, None)
+            work.append((node.left, None))   # positional: arity is fixed
+            work.append((node.right, None))
         elif isinstance(node, P.CrossJoin):
             rc = set(node.right_cols)
-            down(node.left, None if needed is None else (needed - rc))
-            down(node.right, rc)
+            work.append((node.left,
+                         None if needed is None else (needed - rc)))
+            work.append((node.right, rc))
         elif isinstance(node, P.BroadcastScalar):
             bc = set(node.columns)
-            down(node.child, None if needed is None else (needed - bc))
-            down(node.source, bc)
+            work.append((node.child,
+                         None if needed is None else (needed - bc)))
+            work.append((node.source, bc))
         else:                           # unknown node: give up below it
             for c in node.children():
-                down(c, None)
+                work.append((c, None))
 
-    down(plan, None)
-    return plan
+    return acc, nodes
