@@ -211,18 +211,27 @@ def _run_suite(session, queries, base, trials, label, order=None,
                   f"{str(e)[:120]}", flush=True)
             results[name] = None
             continue
-        frozen = bool(plan.__dict__.get("_frozen_jits")) \
-            and not getattr(plan, "_frozen_off", False)
+        packed = bool(plan.__dict__.get("_frozen_packed")) \
+            and not getattr(plan, "_packed_off", False)
+        frozen = packed or (bool(plan.__dict__.get("_frozen_jits"))
+                            and not getattr(plan, "_frozen_off", False))
         results[name] = round(ms, 1)
         meta[name] = {"cold_s": round(cold_s, 1),
                       "frozen_compile_s": round(frozen_s, 1),
-                      "frozen": frozen, "manifest": seeded,
-                      "modules": len(plan.__dict__.get("_frozen_jits") or ())}
+                      "frozen": frozen, "packed": packed, "manifest": seeded,
+                      "modules": (len(plan.__dict__.get("_frozen_packed")
+                                      or ())
+                                  + len(plan.__dict__.get("_frozen_jits")
+                                        or ()))}
+        for attr in ("_frozen_err", "_packed_err"):
+            err = getattr(plan, attr, None)
+            if err is not None:     # why the fused path disengaged
+                meta[name][attr[1:]] = f"{type(err).__name__}: {str(err)[:120]}"
         total += ms
         ran += 1
         print(f"# {label} {name}: {ms:8.1f} ms (cold {cold_s:.1f}s, "
               f"frozen-compile {frozen_s:.1f}s, frozen={frozen}, "
-              f"manifest={seeded})", flush=True)
+              f"packed={packed}, manifest={seeded})", flush=True)
         if manifest_label:
             # export even when seeded: a run can enrich the entry (e.g. the
             # result_m bound recorded by the discovery run)

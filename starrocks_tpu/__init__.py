@@ -56,12 +56,30 @@ def _machine_tag() -> str:
     return hashlib.sha1(raw.encode()).hexdigest()[:12]
 
 
-_cache_dir = os.environ.get(
-    "STARROCKS_TPU_COMPILE_CACHE",
-    os.path.join(os.path.expanduser("~"), ".cache", "starrocks_tpu_xla"))
+def _cache_subdir() -> str:
+    """TPU executables are device code — portable across hosts with the
+    same jax/libtpu, so they key by backend+version and live IN THE REPO
+    (committed): a fresh container starts with every benchmark module
+    already compiled, the analog of the reference shipping prepared
+    fragments. XLA:CPU artifacts are host machine code (the SIGILL hazard
+    above), so CPU keeps the per-host tag."""
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "cpu" not in plats.split(","):
+        return f"tpu-{jax.__version__}"
+    return _machine_tag()
+
+
+_IN_REPO_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".xla_cache")
+_cache_dir = os.environ.get("STARROCKS_TPU_COMPILE_CACHE", "")
+if not _cache_dir:
+    _sub = _cache_subdir()
+    _cache_dir = (_IN_REPO_CACHE if _sub.startswith("tpu-") else
+                  os.path.join(os.path.expanduser("~"), ".cache",
+                               "starrocks_tpu_xla"))
 if _cache_dir != "0":
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(_cache_dir, _machine_tag()))
+                      os.path.join(_cache_dir, _cache_subdir()))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Resolve the float64-bitcast capability probe BEFORE any engine tracing:
