@@ -131,6 +131,13 @@ class Session:
         ANALYZE-at-load behavior of Catalog.from_tables)."""
         with self._lock.write():
             self._register_locked(name, table)
+        # a programmatic bulk load carries data the edit log cannot
+        # reproduce from text — fold it into the image right away (the
+        # statement-driven register()s inside _try_ddl are replayable and
+        # skip this via _in_stmt)
+        if (getattr(self, "_journal", None) is not None
+                and not getattr(self, "_in_stmt", False)):
+            self.checkpoint()
 
     def _register_locked(self, name: str, table: Table) -> None:
         self.tables[name] = table
@@ -167,6 +174,9 @@ class Session:
             self._plan_cache.clear()
             self._result_cache.clear()
             self._catalog_version += 1
+        if (getattr(self, "_journal", None) is not None
+                and not getattr(self, "_in_stmt", False)):
+            self.checkpoint()   # programmatic drop: fold, like register()
 
     # -- materialized views (sql/mv.py; MaterializedView.java analog) -------
     def create_materialized_view(self, name: str, select_sql: str) -> None:
@@ -271,8 +281,22 @@ class Session:
         from starrocks_tpu.exec.stream import HostTable
 
         os.makedirs(dirpath, exist_ok=True)
-        manifest = {"version": 1, "tables": {}, "views": dict(self.views),
-                    "mviews": {n: mv.sql for n, mv in self.mviews.items()}}
+        manifest = {"version": 2, "tables": {}, "views": dict(self.views),
+                    "mviews": {n: mv.sql for n, mv in self.mviews.items()},
+                    # auth registries are catalog metadata too: an image
+                    # must restore who may read what (the reference's FE
+                    # image serializes AuthorizationMgr alongside the db)
+                    "auth": {
+                        "users": sorted(self._auth_users()),
+                        "grants": {u: {t: sorted(ps)
+                                       for t, ps in tbl.items()}
+                                   for u, tbl in self._grants().items()},
+                        "roles": {r: {t: sorted(ps)
+                                      for t, ps in tbl.items()}
+                                  for r, tbl in self._roles().items()},
+                        "user_roles": {u: sorted(rs)
+                                       for u, rs in self._user_roles().items()},
+                    }}
         for name, t in self.tables.items():
             if isinstance(t, HostTable):
                 # disk/host-tier tables checkpoint as columnar segments
@@ -323,6 +347,78 @@ class Session:
             stored = s.tables.get(f"__mv_{n}")
             if stored is not None:
                 s.mviews[n] = analyze_mv(n, sql, list(stored.column_names()))
+        auth = manifest.get("auth")
+        if auth:
+            s._auth_users().update(auth.get("users", ()))
+            for u, tbl in auth.get("grants", {}).items():
+                s._grants()[u] = {t: set(ps) for t, ps in tbl.items()}
+            for r, tbl in auth.get("roles", {}).items():
+                s._roles()[r] = {t: set(ps) for t, ps in tbl.items()}
+            for u, rs in auth.get("user_roles", {}).items():
+                s._user_roles()[u] = set(rs)
+        return s
+
+    # -- journal (edit log + image + checkpoint; exec/journal.py) ---------
+    def _meta_fingerprint(self):
+        """Cheap structural hash of every piece of durable catalog state a
+        SQL statement can mutate; sql() journals a statement iff this
+        changed across it."""
+        def frz(d):
+            return tuple(sorted(
+                (k, frz(v) if isinstance(v, dict)
+                 else tuple(sorted(v)) if isinstance(v, set) else v)
+                for k, v in d.items()))
+        return (self._catalog_version,
+                tuple(sorted(self.views.items())),
+                tuple(sorted(self.mviews)),
+                tuple(sorted(self._auth_users())),
+                frz(self._grants()), frz(self._roles()),
+                frz(self._user_roles()),
+                getattr(self, "_txn", None) is not None)
+
+    def enable_journal(self, dirpath: str) -> None:
+        """Start durable metadata logging: write a full image now, then
+        append every catalog-mutating statement to the edit log."""
+        from starrocks_tpu.exec.journal import CatalogJournal
+        j = CatalogJournal(dirpath)
+        self.save_catalog(j.image_dir)
+        j.open(truncate=True)
+        self._journal = j
+
+    def checkpoint(self) -> None:
+        """Fold the edit log into a fresh image and truncate it (the
+        reference's checkpoint daemon)."""
+        j = getattr(self, "_journal", None)
+        if j is None:
+            raise RuntimeError("journal not enabled")
+        self.save_catalog(j.image_dir)
+        j.open(truncate=True)
+
+    @classmethod
+    def recover(cls, dirpath: str, mesh=None, partitioning=None
+                ) -> "Session":
+        """Image + journal-replay recovery. Statements replay in LSN order
+        under each entry's recorded user (so grant-gated DDL reproduces
+        its original outcome); the recovered session keeps journaling."""
+        from starrocks_tpu.exec.journal import CatalogJournal
+        j = CatalogJournal(dirpath)
+        s = cls.load_catalog(j.image_dir, mesh=mesh,
+                             partitioning=partitioning)
+        entries = list(j.read())
+        for e in entries:
+            prev = s.user
+            s.user = e.get("user", prev)
+            try:
+                s.sql(e["stmt"])
+            finally:
+                s.user = prev
+        # an open transaction at crash time was never committed: roll the
+        # replayed prefix of it back (the reference aborts unfinished txns
+        # on FE restart)
+        if getattr(s, "_txn", None) is not None:
+            s.sql("rollback")
+        j.open(truncate=False)
+        s._journal = j
         return s
 
     _DDL = None  # compiled lazily
@@ -794,8 +890,20 @@ class Session:
         from starrocks_tpu.config import CONFIG
         from starrocks_tpu.utils.metrics import AUDIT, REGISTRY, AuditRecord
 
-        ddl = self._try_ddl(text)
+        j = getattr(self, "_journal", None)
+        fp = self._meta_fingerprint() if j is not None else None
+        self._in_stmt = True
+        try:
+            ddl = self._try_ddl(text)
+        finally:
+            self._in_stmt = False
         if ddl is not None:
+            # journal the statement iff it mutated durable catalog state
+            # (SHOW/DESC and failed statements change nothing and replay
+            # would be noise); append is fsync'd before returning, so an
+            # acknowledged DDL survives a crash
+            if j is not None and self._meta_fingerprint() != fp:
+                j.append(self.user, text)
             return ddl
         gate = self._admit()
         if not gate.acquire(timeout=CONFIG.admission_timeout_s):
