@@ -223,6 +223,13 @@ class Session:
         self.register(name, t)
         return t
 
+    def load_avro(self, name: str, path: str) -> Table:
+        """Avro container-file bulk load (avro_scanner.cpp analog)."""
+        from starrocks_tpu.io.avro_io import read_avro
+        t = read_avro(path)
+        self.register(name, t)
+        return t
+
     def load_json(self, name: str, path: str, schema=None) -> Table:
         """ndjson bulk load (json_scanner.cpp analog); schema inferred when
         omitted."""

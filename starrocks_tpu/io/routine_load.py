@@ -51,6 +51,9 @@ class RoutineLoadJob:
         if self.fmt == "orc":
             from starrocks_tpu.io.parquet_io import read_orc
             return read_orc(path)
+        if self.fmt == "avro":
+            from starrocks_tpu.io.avro_io import read_avro
+            return read_avro(path)
         from starrocks_tpu.io.json_io import read_json
         return read_json(path, **self.load_kwargs)
 
