@@ -39,7 +39,7 @@ _T0 = time.time()
 # (r3+r4 artifacts died rc=124 around ~1600s wall): phases are only gated
 # BETWEEN units of work, so the budget needs headroom for one worst-case
 # compile overshoot on top of everything already spent
-_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "1250"))
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "1350"))
 
 
 def _remaining() -> float:
@@ -339,7 +339,7 @@ def bench_ooc():
     from starrocks_tpu.exec.stream import HostTable
     from starrocks_tpu.sql.tpch_sql import QUERIES
 
-    sf = float(os.environ.get("BENCH_OOC_SF", "2.0"))
+    sf = float(os.environ.get("BENCH_OOC_SF", "1.0"))
     if _remaining() < 420 and sf > 1.0:
         sf = 1.0          # generation cost scales with SF; keep the line
         print("# ooc: budget low, shrinking to sf=1.0", flush=True)
@@ -436,23 +436,11 @@ def main():
             suite_line["error"] = f"{type(e).__name__}: {str(e)[:200]}"
     del raw
 
-    ssb_sf = float(os.environ.get("SSB_SF", "1.0"))
-    if os.environ.get("BENCH_SSB", "1") == "1" and _remaining() > 420:
-        try:
-            bench_ssb()
-        except Exception as e:
-            print(f"# ssb failed: {type(e).__name__} {str(e)[:200]}",
-                  flush=True)
-            _emit({"metric": f"ssb_sf{ssb_sf}_suite_total", "value": 0,
-                   "unit": "ms", "queries_timed": 0, "vs_baseline": 0.0,
-                   "error": f"{type(e).__name__}: {str(e)[:200]}"})
-    else:
-        _emit({"metric": f"ssb_sf{ssb_sf}_suite_total", "value": 0,
-               "unit": "ms", "queries_timed": 0, "vs_baseline": 0.0,
-               "error": f"skipped (budget left {_remaining():.0f}s)"})
-
+    # TPC-DS before SSB: DS generation is ~2s while SSB's flat-table
+    # generation + dict-encode + relay upload measured 450s — the cheap
+    # suite must not sit behind the expensive setup when budget runs low
     ds_sf = float(os.environ.get("TPCDS_SF", "0.1"))
-    if os.environ.get("BENCH_TPCDS", "1") == "1" and _remaining() > 600:
+    if os.environ.get("BENCH_TPCDS", "1") == "1" and _remaining() > 300:
         try:
             bench_tpcds()
         except Exception as e:
@@ -463,6 +451,21 @@ def main():
                    "error": f"{type(e).__name__}: {str(e)[:200]}"})
     else:
         _emit({"metric": f"tpcds_sf{ds_sf}_suite_total", "value": 0,
+               "unit": "ms", "queries_timed": 0, "vs_baseline": 0.0,
+               "error": f"skipped (budget left {_remaining():.0f}s)"})
+
+    ssb_sf = float(os.environ.get("SSB_SF", "1.0"))
+    if os.environ.get("BENCH_SSB", "1") == "1" and _remaining() > 560:
+        try:
+            bench_ssb()
+        except Exception as e:
+            print(f"# ssb failed: {type(e).__name__} {str(e)[:200]}",
+                  flush=True)
+            _emit({"metric": f"ssb_sf{ssb_sf}_suite_total", "value": 0,
+                   "unit": "ms", "queries_timed": 0, "vs_baseline": 0.0,
+                   "error": f"{type(e).__name__}: {str(e)[:200]}"})
+    else:
+        _emit({"metric": f"ssb_sf{ssb_sf}_suite_total", "value": 0,
                "unit": "ms", "queries_timed": 0, "vs_baseline": 0.0,
                "error": f"skipped (budget left {_remaining():.0f}s)"})
 
